@@ -1,0 +1,122 @@
+"""Sky estimation: binning, smoothed-histogram mode, 2-D Legendre fit.
+
+Re-implements the reference's ``utils/sky.py`` (``binkxk:20``,
+``smooth_mode:46``, ``medfit:96``) in JAX.  ``medfit`` fits
+``sum_ij c_ij P_i(u) P_j(v)`` (total degree <= order) to the N x N block
+nanmedians and reconstructs the model on the full pixel grid via two
+small matmuls.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.stats import norm as _norm
+
+from .legendre import legendre_basis_1d
+
+
+def binkxk(arr, k):
+    """k x k mean binning of a 2-D array (remainder pixels dropped)."""
+    ny, nx = arr.shape
+    nyo, nxo = ny // k, nx // k
+    return jnp.mean(
+        arr[: k * nyo, : k * nxo].reshape(nyo, k, nxo, k), axis=(1, 3)
+    )
+
+
+def smooth_mode(arr, pc=25.0, pksmooth=0.5, niter=3, nbin=21):
+    """Mode of the Gaussian-smoothed histogram (nan-aware).
+
+    Same iteration as the reference (``sky.py:46-93``): percentile-based
+    center/width initialization, ``niter`` rounds of a 21-point kernel
+    density scan with quadratic peak refinement.  Returns
+    (mode, sigma * pksmooth).
+    """
+    flat = arr.ravel()
+    c1 = jnp.nanpercentile(flat, pc)
+    c2 = jnp.nanpercentile(flat, 50.0)
+    c3 = jnp.nanpercentile(flat, 100.0 - pc)
+    gauss_iqr = float(_norm.ppf((100.0 - pc) / 100.0) * 2)
+    ctr = c2
+    sigma = (c3 - c1) / gauss_iqr
+
+    offsets = jnp.linspace(-1.0, 1.0, nbin)
+    valid = ~jnp.isnan(flat)
+    vals = jnp.where(valid, flat, 0.0)
+
+    def one_iter(ctr, _):
+        z = ctr + offsets * sigma
+        # weights for interior bins only (ends stay zero, as in reference)
+        d = (z[1:-1, None] - vals[None, :]) / (pksmooth * sigma)
+        w = jnp.exp(-0.5 * d * d) * valid[None, :]
+        hist = jnp.zeros(nbin).at[1:-1].set(jnp.sum(w, axis=1))
+        i_pk = jnp.argmax(hist)
+        b = (hist[i_pk + 1] - hist[i_pk - 1]) / 2.0
+        a = (hist[i_pk + 1] + hist[i_pk - 1]) / 2.0 - hist[i_pk]
+        ctr = z[i_pk] + (z[1] - z[0]) * (-b / (2.0 * a))
+        return ctr, None
+
+    ctr, _ = jax.lax.scan(one_iter, ctr, None, length=niter)
+    return ctr, sigma * pksmooth
+
+
+def _tri_indices(order):
+    """(i, j) exponent pairs in the reference's coefficient ordering
+    (``sky.py:127-134``): i ascending, j in 0..order-i."""
+    return [(i, j) for i in range(order + 1) for j in range(order + 1 - i)]
+
+
+def medfit(arr, N=8, order=2):
+    """Low-order 2-D Legendre fit to block nanmedians.
+
+    Returns (coef, model) where ``model[y, x] = sum coef_k P_i(u) P_j(v)``
+    with u, v the x/y coordinates scaled to [-1, 1) and the (i, j)
+    ordering of the reference (``sky.py:96-191``).
+    """
+    ny, nx = arr.shape
+    kx, ky = nx // N, ny // N
+    px, py = (nx % N) // 2, (ny % N) // 2
+
+    u_ = 2 * (px - 0.5 + kx * jnp.linspace(0.5, N - 0.5, N)) / nx - 1
+    v_ = 2 * (py - 0.5 + ky * jnp.linspace(0.5, N - 0.5, N)) / ny - 1
+
+    meds = jnp.nanmedian(
+        arr[py : py + N * ky, px : px + N * kx].reshape(N, ky, N, kx),
+        axis=(1, 3),
+    )
+
+    terms = _tri_indices(order)
+    nc = len(terms)
+    Pu = legendre_basis_1d(order, u_)  # (order+1, N)
+    Pv = legendre_basis_1d(order, v_)
+    # basis[k, jy, ix] = P_i(u[ix]) P_j(v[jy])
+    basis = jnp.stack([Pv[j][:, None] * Pu[i][None, :] for i, j in terms])
+
+    good = ~jnp.isnan(meds)
+    m = jnp.where(good, meds, 0.0)
+    bflat = basis.reshape(nc, N * N) * good.ravel()[None, :]
+    A = bflat @ bflat.T
+    b = bflat @ m.ravel()
+    coef = jnp.linalg.solve(A, b)
+
+    uu = jnp.linspace(-1.0, 1.0 - 2.0 / nx, nx)
+    vv = jnp.linspace(-1.0, 1.0 - 2.0 / ny, ny)
+    LPX = legendre_basis_1d(order, uu)  # (order+1, nx)
+    LPY = legendre_basis_1d(order, vv)  # (order+1, ny)
+    model = jnp.zeros((ny, nx), dtype=arr.dtype)
+    for k, (i, j) in enumerate(terms):
+        model = model + coef[k] * jnp.outer(LPY[j], LPX[i]).astype(arr.dtype)
+    return coef, model
+
+
+def sky_model_from_coefs(coefs, ny, nx, order):
+    """Reconstruct the medfit sky model from stored coefficients."""
+    terms = _tri_indices(order)
+    uu = np.linspace(-1.0, 1.0 - 2.0 / nx, nx)
+    vv = np.linspace(-1.0, 1.0 - 2.0 / ny, ny)
+    LPX = np.asarray(legendre_basis_1d(order, uu))
+    LPY = np.asarray(legendre_basis_1d(order, vv))
+    model = np.zeros((ny, nx))
+    for k, (i, j) in enumerate(terms):
+        model += float(coefs[k]) * np.outer(LPY[j], LPX[i])
+    return model

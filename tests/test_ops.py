@@ -1,0 +1,221 @@
+"""Unit tests for the device kernel library vs independent numpy oracles.
+
+Mirrors the reference's kernel-level test strategy
+(``tests/romanimpreprocess/test_linutils.py``, ``test_ref.py``) but with
+oracles written from the documented formulas rather than imports.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from numpy.polynomial import legendre as npleg
+
+from romanimpreprocess_tpu.ops import (
+    ipc,
+    legendre,
+    linearity,
+    mask,
+    pink,
+    refsub,
+    saturation,
+    sky,
+)
+
+rng = np.random.RandomState(7)
+
+
+def test_legendre_matches_numpy():
+    z = rng.uniform(-1.4, 1.4, (5, 6)).astype(np.float32)
+    coefs = rng.normal(size=(4, 5, 6)).astype(np.float32)
+    phi, ex = legendre.legendre_eval(jnp.array(z), jnp.array(coefs), linextrap=False)
+    ref = np.zeros_like(z)
+    for L in range(4):
+        ref += coefs[L] * npleg.legval(z, [0] * L + [1])
+    assert np.allclose(phi, ref, atol=1e-4)
+
+    phi2, ex2 = legendre.legendre_eval(jnp.array(z), jnp.array(coefs))
+    assert np.array_equal(np.array(ex2), np.abs(z) > 1)
+    # tangent-line continuation beyond |z|=1
+    expected = np.zeros_like(z)
+    for L in range(4):
+        PL = np.sign(z) ** L * (1 + L * (L + 1) / 2 * (np.abs(z) - 1)) if L else 1.0
+        expected += coefs[L] * PL
+    out = np.abs(z) > 1
+    assert np.allclose(np.where(out, phi2, 0), np.where(out, expected, 0), atol=1e-4)
+
+
+def test_ipc_fwd_oracle_and_inverse():
+    ny, nx = 8, 9
+    im = rng.normal(size=(ny, nx)).astype(np.float32)
+    K = rng.uniform(0, 0.02, (3, 3, ny, nx)).astype(np.float32)
+    K[1, 1] = 1 - K.sum(axis=(0, 1)) + K[1, 1]
+    out = np.array(ipc.ipc_fwd(jnp.array(im), jnp.array(K)))
+    oracle = np.zeros_like(im)
+    for y in range(ny):
+        for x in range(nx):
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    ys, xs = y - dy, x - dx
+                    if 0 <= ys < ny and 0 <= xs < nx:
+                        oracle[y, x] += im[ys, xs] * K[1 + dy, 1 + dx, ys, xs]
+    assert np.allclose(out, oracle, atol=1e-5)
+
+    rev = np.array(ipc.ipc_rev(jnp.array(out), jnp.array(K), order=4))
+    assert np.allclose(rev, im, atol=1e-4)
+
+    g = rng.uniform(1.4, 1.6, (ny, nx)).astype(np.float32)
+    outg = ipc.ipc_fwd(jnp.array(im), jnp.array(K), gain=jnp.array(g))
+    revg = np.array(ipc.ipc_rev(outg, jnp.array(K), order=4, gain=jnp.array(g)))
+    assert np.allclose(revg, im, atol=1e-4)
+
+
+def _toy_linearity(N):
+    """gencal-style cubic Legendre linearity with unit slope at Sref."""
+    x, y = np.meshgrid(np.arange(N), np.arange(N))
+    Smin = (5000 + 500 * np.cos((x + 3 * y) / 100.0)).astype(np.float32)
+    Smax = (56000 + 10000 * rng.uniform(size=(N, N))).astype(np.float32)
+    Sref = (Smin + 300 + 100 * (x % 2)).astype(np.float32)
+    data = np.zeros((4, N, N), np.float32)
+    data[2] = 20 + 180 * rng.uniform(size=(N, N))
+    zr = 2 * (Sref - Smin) / (Smax - Smin) - 1
+    data[1] = (Smax - Smin) / 2 - 3 * data[2] * zr
+    data[0] = -data[1] * zr - data[2] * (1.5 * zr**2 - 0.5)
+    return linearity.LinearityData(
+        jnp.array(data), jnp.array(Smin), jnp.array(Smax), jnp.array(Sref),
+        jnp.zeros((N, N), jnp.uint32),
+    )
+
+
+def test_linearity_forward_backward():
+    """Round trip within 0.01 DN (reference gate: 0.002 DN at f64; we run
+    the bisection in f32)."""
+    N = 16
+    lin = _toy_linearity(N)
+    S = np.array(lin.sref) + 5000.0 * rng.uniform(size=(N, N)).astype(np.float32)
+    Slin, _ = linearity.apply_linearity(jnp.array(S), lin)
+    Sback, exf = linearity.invert_linearity(Slin, lin)
+    assert np.abs(np.array(Sback) - S).max() < 0.01
+    assert not np.any(np.array(exf))
+
+
+def test_multilin_fallback_and_first_group_clip():
+    N = 16
+    lin = _toy_linearity(N)
+    dqcal = np.zeros((N, N), np.uint32)
+    dqcal[0, 0] = 2**20  # NO_LIN_CORR -> fallback to S - Sref
+    lin2 = lin._replace(dq=jnp.array(dqcal))
+    Sref = np.array(lin.sref)
+    S = Sref + 5000.0 * rng.uniform(size=(N, N)).astype(np.float32)
+    cube = np.stack([Sref - 3000, S, S + 2000]).astype(np.float32)
+    phic, dqc = linearity.apply_linearity_cube(jnp.array(cube), lin2)
+    assert np.allclose(np.array(phic)[:, 0, 0], cube[:, 0, 0] - Sref[0, 0], atol=1e-3)
+    # group 0 out of range must NOT be flagged (do_not_flag_first)
+    assert not np.any(np.array(dqc)[1:, 1:] & 2**20)
+
+
+def test_refsub_row_removes_banding():
+    img = np.zeros((64, 64 + 8), np.float32)
+    rowsig = rng.normal(size=64).astype(np.float32) * 5
+    img += rowsig[:, None]
+    out = np.array(
+        refsub.ref_subtraction_row(
+            jnp.array(img), nside=64, nborder=4, channelwidth=8, use_ref_channel=True
+        )
+    )
+    assert out[:, :64].std() < img[:, :64].std() * 0.05
+
+
+def test_refsub_channel_removes_gradient():
+    img = np.zeros((64, 64), np.float32) + np.linspace(0, 10, 64)[:, None]
+    out = np.array(
+        refsub.ref_subtraction_channel(jnp.array(img), nside=64, nborder=4, channelwidth=8)
+    )
+    assert np.abs(out).max() < 0.5
+
+
+def test_medfit_recovers_legendre_sky():
+    ny = nx = 256
+    uu = np.linspace(-1, 1 - 2 / nx, nx)
+    U, V = np.meshgrid(uu, uu)
+    c = [1.0, 0.3, -0.2, 0.15, 0.05, -0.1]  # (i,j) ordering of the reference
+    img = (
+        c[0] + c[1] * V + c[2] * (1.5 * V**2 - 0.5) + c[3] * U + c[4] * U * V
+        + c[5] * (1.5 * U**2 - 0.5)
+    ).astype(np.float32)
+    coef, model = sky.medfit(jnp.array(img), N=8, order=2)
+    assert np.allclose(np.array(coef), c, atol=2e-3)
+    assert np.allclose(np.array(model), img, atol=5e-3)
+    # reconstruction helper matches
+    rec = sky.sky_model_from_coefs(np.array(coef), ny, nx, 2)
+    assert np.allclose(rec, model, atol=1e-4)
+
+
+def test_smooth_mode_finds_peak_with_nans():
+    arr = rng.normal(3.0, 0.5, (200, 200)).astype(np.float32)
+    arr[:20, :20] = np.nan
+    md, w = sky.smooth_mode(jnp.array(arr))
+    assert abs(float(md) - 3.0) < 0.05
+
+
+def test_mask_grow_shapes():
+    dq = np.zeros((16, 16), np.uint32)
+    dq[8, 8] = 4  # JUMP_DET -> cross grow (5)
+    m = np.array(mask.PixelMask1.build(jnp.array(dq)))
+    assert m.sum() == 5 and m[8, 8] and m[7, 8] and m[8, 9]
+    dq2 = np.zeros((16, 16), np.uint32)
+    dq2[8, 8] = 2**10  # DEAD -> 3x3 (9)
+    assert np.array(mask.PixelMask1.build(jnp.array(dq2))).sum() == 9
+    dq3 = np.zeros((16, 16), np.uint32)
+    dq3[8, 8] = 2**3  # DROPOUT -> 5x5 (25)
+    assert np.array(mask.PixelMask1.build(jnp.array(dq3))).sum() == 25
+
+
+def test_pink_noise_spectrum():
+    blocks = jax.jit(pink.pink_frames, static_argnums=(1, 2, 3))(
+        jax.random.PRNGKey(0), 4, 64, 8
+    )
+    flat = np.array(blocks).reshape(4, -1)
+    assert np.allclose(flat.mean(axis=1), 0, atol=1e-4)
+    ps = np.abs(np.fft.rfft(flat, axis=1)) ** 2
+    f = np.fft.rfftfreq(flat.shape[1])
+    lo = ps[:, (f > 0.001) & (f < 0.01)].mean()
+    hi = ps[:, (f > 0.1) & (f < 0.5)].mean()
+    assert 5 < lo / hi < 500  # ~1/f spectral slope
+
+
+def test_saturation_flags():
+    ngrp = 6
+    data = np.zeros((ngrp, 12, 12), np.float32)
+    data[:, 5, 5] = [10, 10, 10, 2000, 3000, 4000]  # saturates at group 3
+    data[:, 2, 2] = [10, 10, 10, 10, 10, -1]  # A/D floor at group 5
+    thr = np.full((12, 12), 1000, np.float32)
+    rdq2, pdq2 = saturation.flag_saturation(
+        jnp.array(data),
+        jnp.zeros((ngrp, 12, 12), jnp.uint32),
+        jnp.zeros((12, 12), jnp.uint32),
+        jnp.array(thr),
+        jnp.zeros((12, 12), jnp.uint32),
+        backup=1, skip_first=1, n_pix_grow_sat=1,
+    )
+    rdq2 = np.array(rdq2)
+    assert rdq2[3, 5, 5] & 2 and rdq2[4, 5, 5] & 2 and rdq2[5, 5, 5] & 2
+    assert rdq2[2, 5, 5] & 2  # backup retro-flag
+    assert not rdq2[1, 5, 5] & 2
+    assert rdq2[3, 5, 6] & 2 and rdq2[3, 6, 6] & 2  # spatial grow
+    assert rdq2[5, 2, 2] & (64 | 1)  # AD_FLOOR | DO_NOT_USE
+
+
+def test_saturation_no_sat_check():
+    data = np.full((3, 8, 8), 5000, np.float32)
+    satdq = np.zeros((8, 8), np.uint32)
+    satdq[4, 4] = 2**21  # NO_SAT_CHECK
+    rdq2, pdq2 = saturation.flag_saturation(
+        jnp.array(data),
+        jnp.zeros((3, 8, 8), jnp.uint32),
+        jnp.zeros((8, 8), jnp.uint32),
+        jnp.full((8, 8), 1000, jnp.float32),
+        jnp.array(satdq),
+        backup=0, skip_first=0, n_pix_grow_sat=0,
+    )
+    assert not np.array(rdq2)[2, 4, 4] & 2
+    assert np.array(pdq2)[4, 4] & 2**21
