@@ -188,6 +188,9 @@ class HDU:
         if name is not None:
             self.header["EXTNAME"] = name
 
+    def writeto(self, path, overwrite=True):
+        write(path, [self], overwrite=overwrite)
+
 
 def PrimaryHDU(data=None, header=None):
     return HDU(data=data, header=header)

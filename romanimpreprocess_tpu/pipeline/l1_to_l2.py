@@ -1,0 +1,561 @@
+"""L1 -> L2 calibration: the ``gen_cal_image`` equivalent.
+
+Re-implements the full calibration chain of the reference driver
+(``src/romanimpreprocess/L1_to_L2/gen_cal_image.py:480-739``) as one
+jitted device core plus a thin host wrapper:
+
+device core (single XLA program, cube never leaves HBM):
+  dq init -> saturation flagging -> per-group reference-pixel
+  correction (row + channel, amp33 optimal slope) -> bias correction ->
+  dark-decay / WFI18-transient corrections -> Legendre linearity ->
+  IPC deconvolution -> ramp fit + jump detection (masked dense
+  saturation variants) -> dark-current subtraction -> flat field /
+  pixel area -> sky mode + optional Legendre sky subtraction ->
+  endslice map.
+
+host wrapper: YAML config, L1 ASDF read, CALDIR load (once), WCS
+sidecar -> pixel-area map, plan precomputation, L2 ASDF/FITS write,
+process log.
+"""
+
+import sys
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from .. import pars
+from ..config import load_config
+from ..dqflags import group as gdq
+from ..dqflags import pixel
+from ..io import asdf_lite, calfiles, fits_lite
+from ..ops import ipc, linearity, mask, ramp, refsub, saturation, sky, wcsutils
+from ..utils.processlog import ProcessLog
+from .. import __version__
+
+
+# --------------------------------------------------------------------------
+# Device core
+# --------------------------------------------------------------------------
+
+def _refpix_correct(data, dark_cube, amp33, amp33_med, opt_slope,
+                    nside, nborder, channelwidth, use_amp33):
+    """Per-group reference-pixel correction (reference
+    ``gen_cal_image.py:531-556``): dark-subtracted frame + amp33 block,
+    row subtraction with the optimal amp33 slope, then channel
+    subtraction; dark re-added afterwards."""
+
+    def one_group(args):
+        frame, dark, a33 = args
+        aug = jnp.zeros((nside, nside + channelwidth), dtype=jnp.float32)
+        aug = aug.at[:, :nside].set(frame - dark)
+        if use_amp33:
+            blk = a33 - amp33_med
+            blk = blk - jnp.median(blk)
+            aug = aug.at[:, nside:].set(blk)
+        aug = refsub.ref_subtraction_row(
+            aug, nside=nside, nborder=nborder, channelwidth=channelwidth,
+            use_ref_channel=use_amp33, slope=opt_slope if use_amp33 else None,
+        )
+        aug = refsub.ref_subtraction_channel(
+            aug, nside=nside, nborder=nborder, channelwidth=channelwidth,
+            use_ref_channel=use_amp33,
+        )
+        return aug[:, :nside] + dark
+
+    return jax.lax.map(one_group, (data, dark_cube, amp33))
+
+
+def _dark_decay_signal(read_pattern, frame_time, amplitude, time_constant):
+    """Per-resultant additive decay signal s_j = A * mean_r exp(-t_r/tau).
+
+    This package's self-consistent dark-decay model (the reference
+    delegates to ``romancal.dark_decay.subtract_dark_decay``,
+    ``gen_cal_image.py:295-325``; the sim stage injects the identical
+    model so correction closes the loop).
+    """
+    out = []
+    for grp in read_pattern:
+        ts = np.array(grp, dtype=np.float64) * frame_time
+        out.append(amplitude * np.mean(np.exp(-ts / time_constant)))
+    return np.asarray(out, dtype=np.float32)
+
+
+def _wfi18_row_basis(nside, nborder):
+    """Two-exponential row basis for the WFI18 first-read transient.
+
+    Row coordinate includes the 4-row timing gap every 256 rows
+    (cf. the reference's synthetic transient, test_workflow.py:542-544).
+    """
+    rows = np.arange(nside, dtype=np.float64)
+    reff = rows + (rows // 256) * 4
+    basis = np.stack([np.exp(-reff / 150.0), np.exp(-reff / 1300.0)], axis=1)
+    return basis.astype(np.float32)  # (nside, 2)
+
+
+def _correct_wfi18(data, nside, nborder):
+    """Fit & subtract the two-exponential row profile from the first read.
+
+    Row medians of (read0 - read1) isolate the transient (it only
+    affects the first read); weighted least squares on the fixed-tau
+    basis; the fitted profile is removed from read 0.
+    """
+    basis = jnp.asarray(_wfi18_row_basis(nside, nborder))  # (nside, 2)
+    nb = nborder
+    prof = jnp.median(
+        data[0, :, nb : nside - nb] - data[1, :, nb : nside - nb], axis=1
+    )
+    prof = prof - jnp.median(prof)
+    BtB = basis.T @ basis
+    coef = jnp.linalg.solve(BtB, basis.T @ prof)
+    model = basis @ coef
+    return data.at[0].add(-model[:, None])
+
+
+def make_core(plan, cfg, geom):
+    """Build the jitted calibration core for one (MA table, config).
+
+    ``cfg`` is a dict of static choices; ``geom`` = (nside, nborder,
+    channelwidth).  Returns a function over device arrays.
+    """
+    nside, nborder, channelwidth = geom
+    nb = nborder
+
+    def core(arr):
+        data = arr["data"].astype(jnp.float32)  # (ngrp, N, N)
+        ngrp = data.shape[0]
+
+        # ---- dq initialization (romancal do_dqinit analog) ----
+        pdq = arr["mask_dq"].astype(jnp.uint32)
+        rdq = jnp.zeros(data.shape, dtype=jnp.uint32)
+        if cfg["exclude_first"]:
+            rdq = rdq.at[0].set(rdq[0] | jnp.uint32(gdq.DO_NOT_USE))
+
+        # ---- saturation ----
+        rdq, pdq = saturation.flag_saturation(
+            data, rdq, pdq, arr["saturation"], arr["saturation_dq"],
+            backup=cfg["backup"], skip_first=1, n_pix_grow_sat=1,
+        )
+
+        # ---- reference pixel correction ----
+        data = _refpix_correct(
+            data, arr["dark_cube"], arr["amp33"], arr["amp33_med"],
+            cfg["opt_slope"], nside, nborder, channelwidth, cfg["use_amp33"],
+        )
+
+        # ---- bias correction ----
+        if cfg["has_biascorr"]:
+            data = data.at[:, nb:-nb, nb:-nb].add(-arr["biascorr"])
+
+        # ---- dark decay ----
+        if cfg["has_dark_decay"]:
+            data = data - arr["dark_decay_signal"][:, None, None]
+
+        # ---- WFI18 transient ----
+        if cfg["wfi18"]:
+            data = _correct_wfi18(data, nside, nborder)
+
+        # ---- linearity ----
+        lin = linearity.LinearityData(
+            arr["lin_coefs"], arr["lin_smin"], arr["lin_smax"],
+            arr["lin_sref"], arr["lin_dq"],
+        )
+        attempt = (rdq & jnp.uint32(gdq.SATURATED)) == 0
+        data, dq_lin = linearity.apply_linearity_cube(
+            data, lin,
+            do_not_flag_first=cfg["first_is_reset"],
+            attempt_corr=attempt,
+        )
+        pdq = pdq | dq_lin
+
+        # ---- IPC deconvolution ----
+        if cfg["has_ipc"]:
+            gain_act = arr["gain"][nb:-nb, nb:-nb]
+            data = ipc.correct_cube(
+                data, arr["ipc_kernel"], gain=gain_act, nborder=nb
+            )
+
+        # ---- ramp fit + jump detection ----
+        slope, ser, sep, rdq, pdq = ramp.ramp_fit(
+            data, rdq, pdq, plan, arr["gain"], arr["read_sigma"],
+            nborder=nborder,
+        )
+
+        # ---- dark current subtraction (IPC-corrected dark slope) ----
+        dslope = arr["dark_slope"]
+        if cfg["has_ipc"]:
+            gain_act = arr["gain"][nb:-nb, nb:-nb]
+            dcorr = ipc.ipc_rev(
+                dslope[nb:-nb, nb:-nb], arr["ipc_kernel"], gain=gain_act
+            )
+            dslope = dslope.at[nb:-nb, nb:-nb].set(dcorr)
+        slope = slope.at[nb:-nb, nb:-nb].add(-dslope[nb:-nb, nb:-nb])
+        if cfg["has_dark_dq"]:
+            pdq = pdq | arr["dark_dq"]
+
+        # zero the border of the science/variance maps (reference
+        # do_ramp_fit re-embedding, gen_cal_image.py:470-475)
+        interior = jnp.zeros((nside, nside), bool).at[nb:-nb, nb:-nb].set(True)
+        slope = jnp.where(interior, slope, 0.0)
+        ser = jnp.where(interior, ser, 0.0)
+        sep = jnp.where(interior, sep, 0.0)
+
+        # ---- flat field (reference flatutils.get_flat + area factor) ----
+        flat = jnp.ones((nside, nside), dtype=jnp.float32)
+        flat = flat.at[nb:-nb, nb:-nb].set(arr["flat"][nb:-nb, nb:-nb])
+        pdq = pdq | jnp.where(
+            (flat < 0.1) | (flat > 10.0),
+            jnp.uint32(pixel.NO_FLAT_FIELD), jnp.uint32(0),
+        )
+        flat = jnp.clip(flat, 0.1, 10.0)
+        if cfg["has_ipc"]:
+            g = arr["gain"][nb:-nb, nb:-nb]
+            pdq = pdq.at[nb:-nb, nb:-nb].set(
+                pdq[nb:-nb, nb:-nb]
+                | jnp.where(g <= 0.1, jnp.uint32(pixel.NO_GAIN_VALUE),
+                            jnp.uint32(0))
+            )
+            g = jnp.clip(g, 0.1, None)
+            flat = flat.at[nb:-nb, nb:-nb].set(
+                ipc.ipc_rev(flat[nb:-nb, nb:-nb], arr["ipc_kernel"], gain=g)
+            )
+        flat = (flat / arr["area_factor"]).astype(jnp.float32)
+        slope = slope / flat
+        ser = ser / flat
+        sep = sep / flat
+
+        # ---- sky ----
+        slope_withsky = slope
+        m = mask.PixelMask1.build(pdq)
+        medsky, _ = sky.smooth_mode(
+            sky.binkxk(jnp.where(~m, slope, jnp.nan), 4)
+        )
+        if cfg["skyorder"] >= 0:
+            skycoefs, skymodel = sky.medfit(
+                slope[nb:-nb, nb:-nb], order=cfg["skyorder"]
+            )
+            slope = slope.at[nb:-nb, nb:-nb].add(-skymodel)
+        else:
+            skycoefs = jnp.zeros(0, dtype=jnp.float32)
+
+        # ---- endslice (SLICEOUT) ----
+        firstsat = ramp.first_saturated_group(rdq)[nb:-nb, nb:-nb]
+        endslice = jnp.where(
+            firstsat < ngrp, firstsat - 1, -1
+        ).astype(jnp.int8)
+
+        return {
+            "slope": slope,
+            "slope_withsky": slope_withsky,
+            "slope_err_read": ser,
+            "slope_err_poisson": sep,
+            "pdq": pdq,
+            "rdq": rdq,
+            "flat": flat,
+            "medsky": medsky,
+            "skycoefs": skycoefs,
+            "endslice": endslice,
+        }
+
+    return jax.jit(core)
+
+
+# --------------------------------------------------------------------------
+# Host driver
+# --------------------------------------------------------------------------
+
+_CORE_CACHE = {}
+
+
+def _get_core(plan, cfg, geom):
+    key = (
+        tuple(sorted((k, v) for k, v in cfg.items())),
+        geom,
+        plan.ngrp, plan.start, plan.m_of_variant, plan.pairs,
+        plan.sthresh_a, plan.sthresh_b, plan.ithresh_a, plan.ithresh_b,
+        float(plan.W.sum()),  # distinguishes MA tables / u values
+    )
+    if key not in _CORE_CACHE:
+        _CORE_CACHE[key] = make_core(plan, cfg, geom)
+    return _CORE_CACHE[key]
+
+
+def wcs_from_config(config):
+    """FITS-header WCS from the FITSWCS sidecar (reference
+    ``gen_cal_image.py:64-87``)."""
+    if "FITSWCS" in config:
+        with open(config["FITSWCS"]) as f:
+            return fits_lite.Header.fromstring(f.read())
+    return None
+
+
+def calibrateimage(config, verbose=False, return_arrays=False):
+    """Run the L1->L2 calibration per the config dict; write the L2 ASDF.
+
+    Config keys follow the reference (``docs/L1_to_L2_README.rst``):
+    IN, OUT, CALDIR, FITSWCS, RAMP_OPT_PARS, JUMP_DETECT_PARS, SKYORDER,
+    EXCLUDE_FIRST, SATURATION_BACKUP, SLICEOUT, FITSOUT,
+    correct_wfi18_transient, NOISE (used by gen_noise_image).
+    """
+    mylog = ProcessLog()
+    caldir = config["CALDIR"]
+    pack = calfiles.load_caldir(caldir)
+    nside = pack.nside
+    nborder = pars.nborder
+    nb = nborder
+
+    # ---- L1 input ----
+    f_l1 = asdf_lite.open(config["IN"])
+    l1 = f_l1["roman"]
+    l1meta = l1["meta"]
+    data = np.asarray(l1["data"])
+    ngrp = data.shape[0]
+    read_pattern = [list(g) for g in l1meta["exposure"]["read_pattern"]]
+    frame_time = float(l1meta["exposure"].get("frame_time", pars.read_time))
+    detector = str(l1meta.get("instrument", {}).get("detector", "WFI00"))
+    channelwidth = (
+        np.asarray(l1["amp33"]).shape[-1] if "amp33" in l1
+        else max(nside // 32, 4)
+    )
+    mylog.append("Initialized data\n")
+
+    meta = ramp.ma_table_meta(read_pattern, frame_time)
+    meta["nborder"] = nborder
+
+    exclude_first = bool(config.get("EXCLUDE_FIRST", True))
+    backup = int(config.get("SATURATION_BACKUP", 1))
+
+    uopt = config.get(
+        "RAMP_OPT_PARS", {"slope": 0.4, "gain": 1.8, "sigma_read": 6.5}
+    )
+    u_ = float(uopt["slope"]) / float(uopt["gain"]) / float(uopt["sigma_read"]) ** 2
+    plan = ramp.build_plan(
+        meta, u_, exclude_first, config.get("JUMP_DETECT_PARS")
+    )
+    mylog.append(f"\n\nRamp fit optimized for u = {u_:11.5E} s**-1\n")
+    mylog.append("weights = {}\n".format(plan.W[-1]))
+
+    # ---- WCS -> pixel area factor ----
+    thewcs = wcs_from_config(config)
+    if thewcs is not None:
+        w = wcsutils.SIPWCS.from_header(thewcs, zero_based=True)
+        area_factor = (
+            wcsutils.pixelarea(w, N=nside) / pars.Omega_ideal
+        ).astype(np.float32)
+        mylog.append("acquired flat field\n")
+    else:
+        area_factor = np.ones((nside, nside), dtype=np.float32)
+        mylog.append("no WCS provided; unit pixel-area factor\n")
+
+    # ---- static config + array bundle ----
+    use_amp33 = pack.amp33_valid and "amp33" in l1
+    opt_slope = calfiles.amp33_optimal_slope(pack) if use_amp33 else None
+    wfi18 = bool(config.get("correct_wfi18_transient", False)) and (
+        detector == "WFI18"
+    )
+    if config.get("correct_wfi18_transient", False) and detector != "WFI18":
+        mylog.append("Skipping WFI18 transient correction (not WFI18)\n")
+    has_dark_decay = "dark_decay" in caldir
+    if has_dark_decay:
+        tab = pack.dark_decay[detector]
+        dd_signal = _dark_decay_signal(
+            read_pattern, frame_time, tab["amplitude"], tab["time_constant"]
+        )
+        mylog.append("Dark decay correction complete\n")
+    else:
+        dd_signal = np.zeros(ngrp, dtype=np.float32)
+
+    cfg = dict(
+        exclude_first=exclude_first,
+        backup=backup,
+        use_amp33=bool(use_amp33),
+        opt_slope=opt_slope,
+        has_biascorr="biascorr" in caldir,
+        has_dark_decay=has_dark_decay,
+        wfi18=wfi18,
+        first_is_reset=(read_pattern[0] == [0]),
+        has_ipc="ipc4d" in caldir,
+        has_dark_dq=pack.dark_dq is not None,
+        skyorder=int(config.get("SKYORDER", -1)),
+    )
+
+    de = pack.dark_cube.shape[0] - ngrp  # EXTRACT_REF trailing alignment
+    arr = {
+        "data": jnp.asarray(data),
+        "amp33": jnp.asarray(
+            np.asarray(l1["amp33"]) if "amp33" in l1
+            else np.zeros((ngrp, nside, channelwidth), np.uint16)
+        ).astype(jnp.float32),
+        "amp33_med": jnp.asarray(
+            pack.amp33_med if pack.amp33_med is not None
+            else np.zeros((nside, channelwidth), np.float32)
+        ),
+        "dark_cube": jnp.asarray(pack.dark_cube[de:]),
+        "dark_slope": jnp.asarray(pack.dark_slope),
+        "dark_dq": jnp.asarray(
+            pack.dark_dq if pack.dark_dq is not None
+            else np.zeros((nside, nside), np.uint32)
+        ),
+        "gain": jnp.asarray(pack.gain),
+        "read_sigma": jnp.asarray(pack.read_sigma),
+        "mask_dq": jnp.asarray(
+            pack.mask_dq if pack.mask_dq is not None
+            else np.zeros((nside, nside), np.uint32)
+        ),
+        "saturation": jnp.asarray(pack.saturation),
+        "saturation_dq": jnp.asarray(
+            pack.saturation_dq if pack.saturation_dq is not None
+            else np.zeros((nside, nside), np.uint32)
+        ),
+        "biascorr": jnp.asarray(
+            pack.biascorr[pack.biascorr.shape[0] - ngrp:]
+            if pack.biascorr is not None
+            else np.zeros((ngrp, nside - 2 * nb, nside - 2 * nb), np.float32)
+        ),
+        "lin_coefs": jnp.asarray(pack.lin_coefs),
+        "lin_smin": jnp.asarray(pack.lin_smin),
+        "lin_smax": jnp.asarray(pack.lin_smax),
+        "lin_sref": jnp.asarray(pack.lin_sref),
+        "lin_dq": jnp.asarray(pack.lin_dq),
+        "ipc_kernel": jnp.asarray(
+            pack.ipc_kernel if pack.ipc_kernel is not None
+            else np.zeros((3, 3, nside - 2 * nb, nside - 2 * nb), np.float32)
+        ),
+        "flat": jnp.asarray(pack.flat),
+        "area_factor": jnp.asarray(area_factor),
+        "dark_decay_signal": jnp.asarray(dd_signal),
+    }
+
+    core = _get_core(plan, cfg, (nside, nborder, int(channelwidth)))
+    out = jax.device_get(core(arr))
+    mylog.append("Saturation check complete\n")
+    mylog.append("Linearity correction complete\n")
+    mylog.append("Dark current subtracted\n")
+
+    medgain = float(np.median(pack.gain))
+    mylog.append(f"median gain = {medgain:8.5f} e/DN\n")
+    skyorder = cfg["skyorder"]
+
+    # ---- assemble the L2 tree ----
+    slope = out["slope"]
+    pdq = out["pdq"]
+    rdq = out["rdq"]
+    ser = out["slope_err_read"]
+    sep = out["slope_err_poisson"]
+
+    act = slice(nb, nside - nb)
+    err = np.hypot(ser, sep).astype(np.float32)
+
+    l2meta = {
+        "exposure": dict(l1meta["exposure"]),
+        "instrument": dict(l1meta.get("instrument", {})),
+        "cal_step": {
+            "dq_init": "COMPLETE",
+            "saturation": "COMPLETE",
+            "refpix": "COMPLETE",
+            "linearity": "COMPLETE",
+            "dark": "COMPLETE",
+            "ramp_fit": "COMPLETE",
+            "flat_field": "COMPLETE",
+            "dark_decay": "COMPLETE" if has_dark_decay else "INCOMPLETE",
+            "wfi18_transient": (
+                "COMPLETE" if wfi18
+                else ("N/A" if config.get("correct_wfi18_transient", False)
+                      else "INCOMPLETE")
+            ),
+        },
+        "calibration_software_name": "romanimpreprocess_tpu.l1_to_l2",
+        "calibration_software_version": __version__,
+        "gain": medgain,
+    }
+
+    im2 = {
+        "meta": l2meta,
+        "data": np.asarray(slope[act, act], np.float32),
+        "dq": np.asarray(pdq[act, act], np.uint32),
+        "err": err[act, act],
+        "var_poisson": np.asarray(sep[act, act] ** 2, np.float32),
+        "var_rnoise": np.asarray(ser[act, act] ** 2, np.float32),
+        "var_flat": np.zeros((nside - 2 * nb, nside - 2 * nb), np.float16),
+        "data_withsky": np.asarray(out["slope_withsky"][act, act], np.float32),
+        "amp33": np.asarray(l1["amp33"]) if "amp33" in l1 else None,
+        # border reference data from the L1 (oututils.add_in_ref_data)
+        "border_ref_pix_left": data[:, :, :nb].astype(np.float32),
+        "border_ref_pix_right": data[:, :, nside - nb:].astype(np.float32),
+        "border_ref_pix_top": data[:, nside - nb:, :].astype(np.float32),
+        "border_ref_pix_bottom": data[:, :nb, :].astype(np.float32),
+        "dq_border_ref_pix_left": np.asarray(pdq[:, :nb], np.uint32),
+        "dq_border_ref_pix_right": np.asarray(pdq[:, nside - nb:], np.uint32),
+        "dq_border_ref_pix_top": np.asarray(pdq[nside - nb:, :], np.uint32),
+        "dq_border_ref_pix_bottom": np.asarray(pdq[:nb, :], np.uint32),
+    }
+    if im2["amp33"] is None:
+        del im2["amp33"]
+
+    processinfo = {
+        "medsky": float(out["medsky"]),
+        "medgain": medgain,
+        "skyorder": skyorder,
+        "skycoefs": np.asarray(out["skycoefs"], np.float32),
+        "ramp_opt_pars": uopt,
+        "meta": {
+            "ngrp": meta["ngrp"],
+            "N": meta["N"].astype(np.int16),
+            "tbar": meta["tbar"].astype(np.float32),
+            "tau": meta["tau"].astype(np.float32),
+            "frame_time": frame_time,
+            "read_pattern": read_pattern,
+            "nborder": nborder,
+        },
+        "weights": plan.W[-1],
+        "config": _jsonable(config),
+        "log": mylog.output,
+        "exclude_first": exclude_first,
+    }
+    if config.get("SLICEOUT", False):
+        if ngrp >= 128:
+            raise ValueError("too many groups")
+        processinfo["endslice"] = np.asarray(out["endslice"], np.int8)
+
+    tree = {"roman": im2, "processinfo": processinfo}
+    asdf_lite.AsdfFile(tree).write_to(config["OUT"])
+
+    if config.get("FITSOUT", False):
+        good = ~np.asarray(mask.PixelMask1.build(jnp.asarray(im2["dq"])))
+        fits_lite.HDUList(
+            [
+                fits_lite.PrimaryHDU(im2["data"]),
+                fits_lite.ImageHDU(im2["dq"]),
+                fits_lite.ImageHDU(np.where(good, im2["data"], -1000.0)),
+            ]
+        ).writeto(config["OUT"][:-5] + "_asdf_to.fits", overwrite=True)
+
+    if verbose:
+        print(mylog.output)
+    if return_arrays:
+        return out
+    return None
+
+
+def _jsonable(obj):
+    """Deep-copy a config into plain YAML/ASDF-serializable types."""
+    if isinstance(obj, dict):
+        return {str(k): _jsonable(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_jsonable(v) for v in obj]
+    if isinstance(obj, (np.integer,)):
+        return int(obj)
+    if isinstance(obj, (np.floating,)):
+        return float(obj)
+    return obj
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    calibrateimage(load_config(argv[0]), verbose=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,507 @@
+"""Sim -> L1: OpenUniverse truth image to Level-1 MultiAccum ramp cube.
+
+Re-implements the reference's ``from_sim/sim_to_isim.py`` (Image2D,
+make_l1_fullcal, fill_in_refdata_and_1f, run_config) with full detector
+physics, TPU-native:
+
+- scene/sky/dark charge is drawn as **independent per-read Poisson
+  increments** (the Poisson-process decomposition of the reference's
+  total-Poisson + sequential binomial apportionment,
+  ``romanisim.l1.apportion_counts_to_resultants`` via
+  ``sim_to_isim.py:233`` — identical joint distribution, but
+  embarrassingly parallel across reads),
+- cosmic-ray hits per read interval (Poisson count x log-normal charge),
+- reset noise, the IL forward model (IPC convolution + gain +
+  24-iteration bisection linearity inverse) applied per resultant,
+- read noise /sqrt(N) per group, bias correction, integer rounding,
+- reference pixels/1-f banding/amp33 synthesis
+  (``fill_in_refdata_and_1f``, ``sim_to_isim.py:306-402``): per-channel
+  pink noise with odd-channel mirroring, shared reset noise, dark-cube
+  border fill, uint16 clip,
+- EXTRACT_REF reference-read subtraction with data_encoding_offset
+  (``sim_to_isim.py:711-730``).
+
+RNG is ``jax.random`` (threefry), key-split per (stage, group, read);
+statistical parity with the galsim streams is the contract (SURVEY §7).
+"""
+
+import re
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import pars
+from ..config import load_config, reads_to_pattern
+from ..dqflags import group as gdq
+from ..io import asdf_lite, calfiles, fits_lite
+from ..ops import ipc, linearity, pink, ramp, wcsutils
+from .. import __version__
+
+# Cosmic-ray model: flux [hits/cm^2/s] x pixel area [cm^2], log-normal
+# charge.  Tuned to the reference's test envelope of 10k-30k JUMP_DET
+# pixels per 4088^2, 139.8 s exposure (test_workflow.py:624-627;
+# romanisim's default CR flux is ~8 /cm^2/s with 10 um pixels).
+CR_RATE_PER_PIX_S = 8.0 * 1.0e-6  # hits / pixel / s
+CR_CHARGE_MU = np.log(1000.0)  # log-normal median 1000 e
+CR_CHARGE_SIGMA = 1.0
+
+
+def read_pattern_to_tij(read_pattern, frame_time=None):
+    """Read pattern -> per-read timestamps (romanisim.l1.read_pattern_to_tij)."""
+    ft = pars.read_time if frame_time is None else frame_time
+    return [[ft * idx for idx in grp] for grp in read_pattern]
+
+
+class IL:
+    """IPC + inverse-linearity forward model (reference
+    ``ipc_linearity.IL:398-513``): linearized electrons -> raw DN.
+
+    Holds device arrays; ``apply`` runs jitted.
+    """
+
+    def __init__(self, lin, gain, ipc_kernel=None, start_e=0.0):
+        self.lin = lin  # LinearityData (full frame)
+        self.gain = gain  # (ny, nx) full frame
+        self.ipc_kernel = ipc_kernel  # (3, 3, na, na) or None
+        self.start_e = start_e  # scalar or (na, na) electrons
+
+    def apply(self, counts_e):
+        """Electrons (active region) -> raw DN (active region)."""
+        nb = (self.gain.shape[0] - counts_e.shape[0]) // 2
+        ny = self.gain.shape[0]
+        act = slice(nb, ny - nb) if nb else slice(None)
+        x = counts_e + self.start_e
+        if self.ipc_kernel is not None:
+            x = ipc.ipc_fwd(x, self.ipc_kernel)
+        lin_act = linearity.LinearityData(
+            self.lin.coefs[:, act, act], self.lin.smin[act, act],
+            self.lin.smax[act, act], self.lin.sref[act, act],
+            self.lin.dq[act, act],
+        )
+        S, _ = linearity.invert_linearity(x / self.gain[act, act], lin_act)
+        return S
+
+
+def _accumulate_resultants(key, lam_per_read, read_pattern, crparam):
+    """Draw per-read Poisson increments and average cumulative charge
+    into resultants.
+
+    lam_per_read : (nreads_total,) relative exposure per frame index
+        times the (na, na) rate map -> passed as (na, na) rate in e/frame
+        (uniform frame time assumed within the MA table).
+    Returns (resultants_e (ngrp, na, na), crhits (na, na) int32).
+    """
+    lastread = read_pattern[-1][-1]
+    nreads = lastread + 1
+    ngrp = len(read_pattern)
+    na = lam_per_read.shape[0]
+
+    # read -> group membership and 1/N weights (host constants)
+    g_of_r = np.full(nreads, -1, np.int32)
+    wgt = np.zeros(nreads, np.float32)
+    for j, grp in enumerate(read_pattern):
+        for r in grp:
+            g_of_r[r] = j
+            wgt[r] = 1.0 / len(grp)
+    g_of_r_d = jnp.asarray(np.where(g_of_r < 0, ngrp, g_of_r))  # ngrp = trash row
+    wgt_d = jnp.asarray(wgt)
+
+    do_cr = crparam is not None
+    p_hit = CR_RATE_PER_PIX_S * crparam.get("frame_time", pars.read_time) if do_cr else 0.0
+
+    def body(r, carry):
+        cum, res, crh = carry
+        k = jax.random.fold_in(key, r)
+        inc = jax.random.poisson(
+            jax.random.fold_in(k, 0), lam_per_read, dtype=jnp.int32
+        ).astype(jnp.float32)
+        # read 0 happens at t=0 (no accumulation before the first frame)
+        inc = jnp.where(r == 0, 0.0, inc)
+        if do_cr:
+            hit = jax.random.bernoulli(jax.random.fold_in(k, 1), p_hit, (na, na))
+            hit = hit & (r > 0)
+            q = jnp.exp(
+                CR_CHARGE_MU
+                + CR_CHARGE_SIGMA
+                * jax.random.normal(jax.random.fold_in(k, 2), (na, na))
+            )
+            inc = inc + jnp.where(hit, q, 0.0).astype(jnp.float32)
+            crh = crh + hit.astype(jnp.int32)
+        cum = cum + inc
+        g = g_of_r_d[r]
+        res = res.at[g].add(cum * wgt_d[r], mode="drop")
+        return cum, res, crh
+
+    cum0 = jnp.zeros((na, na), jnp.float32)
+    res0 = jnp.zeros((ngrp + 1, na, na), jnp.float32)  # +1 trash row
+    crh0 = jnp.zeros((na, na), jnp.int32)
+    _, res, crh = jax.lax.fori_loop(0, nreads, body, (cum0, res0, crh0))
+    return res[:ngrp], crh
+
+
+def make_l1_fullcal(key, counts_rate_e, read_pattern, pack, frame_time=None,
+                    crparam=None):
+    """Counts rate (e/s, active region) -> L1 resultants in raw DN.
+
+    Mirrors reference ``make_l1_fullcal`` (``sim_to_isim.py:163-262``):
+    reset noise, per-resultant IL forward model, read noise, biascorr,
+    rounding.  Returns (resultants_DN (ngrp, na, na) float32,
+    resultantdq (ngrp, na, na) uint32).
+    """
+    ft = pars.read_time if frame_time is None else frame_time
+    nside = pack.gain.shape[0]
+    na = counts_rate_e.shape[0]
+    nb = (nside - na) // 2
+    act = slice(nb, nside - nb)
+    ngrp = len(read_pattern)
+
+    k_reset, k_app, k_read = jax.random.split(key, 3)
+
+    gain_act = jnp.asarray(pack.gain[act, act])
+    # reset noise in electrons (sim_to_isim.py:194-215)
+    reset_e = (
+        jax.random.normal(k_reset, (na, na))
+        * jnp.asarray(pack.resetnoise[act, act])
+        * gain_act
+    )
+    if pack.biascorr is not None:
+        reset_e = reset_e - (
+            pack.biascorr_t0
+            * jnp.asarray(pack.dark_slope[act, act])
+            / gain_act
+        )
+
+    lin = linearity.LinearityData(
+        jnp.asarray(pack.lin_coefs), jnp.asarray(pack.lin_smin),
+        jnp.asarray(pack.lin_smax), jnp.asarray(pack.lin_sref),
+        jnp.asarray(pack.lin_dq),
+    )
+    il = IL(
+        lin, jnp.asarray(pack.gain),
+        jnp.asarray(pack.ipc_kernel) if pack.ipc_kernel is not None else None,
+        start_e=reset_e,
+    )
+
+    lam_per_frame = jnp.clip(counts_rate_e * ft, 0.0, None)
+    crp = dict(crparam or {})
+    crp["frame_time"] = ft
+    res_e, crhits = _accumulate_resultants(
+        k_app, lam_per_frame, read_pattern, crp if crparam is not None else None
+    )
+
+    # IL forward model per resultant (electrons in, raw DN out)
+    resultants = jax.lax.map(il.apply, res_e)
+
+    # read noise / sqrt(N_j) (add_read_noise_to_resultants)
+    nvec = jnp.asarray([len(g) for g in read_pattern], jnp.float32)
+    rn = (
+        jax.random.normal(k_read, (ngrp, na, na))
+        * jnp.asarray(pack.read_sigma[act, act])[None]
+        / jnp.sqrt(nvec)[:, None, None]
+    )
+    resultants = resultants + rn
+
+    if pack.biascorr is not None:
+        de = pack.biascorr.shape[0] - ngrp
+        resultants = resultants + jnp.asarray(pack.biascorr[de:])
+
+    resultants = jnp.round(resultants)
+
+    # dq: mark CR-affected pixels (JUMP_DET) on all groups after the hit
+    dq = jnp.where(
+        (crhits > 0)[None], jnp.uint32(gdq.JUMP_DET), jnp.uint32(0)
+    ) * jnp.ones((ngrp, 1, 1), jnp.uint32)
+    return resultants, dq
+
+
+def fill_in_refdata_and_1f(key, im, pack, read_pattern, nside, channelwidth,
+                           fill_in_banding=True, amp33=None, nborder=4):
+    """Fill reference pixels and add 1/f banding + amp33 (device).
+
+    Mirrors reference ``fill_in_refdata_and_1f`` (``sim_to_isim.py:306-402``):
+    the full frame starts as a synthetic dark (white read noise /sqrt(N)
+    + shared reset noise + dark cube), the active region is overwritten
+    with ``im``, then per-group banding is added: a common 1/f frame
+    (C_PINK) plus per-channel unique frames (U_PINK), odd channels
+    mirrored; the amp33 block gets median + white*std + RU_PINK*own-pink
+    + M_PINK*common.  Output clipped/rounded to uint16.
+
+    Returns (im_u16 (ngrp, nside, nside), amp33_u16 or None).
+    """
+    ngrp = im.shape[0]
+    nb = nborder
+    nch = nside // channelwidth
+    nvec = np.asarray([len(g) for g in read_pattern], np.float32)
+
+    k_white, k_reset, k_pink, k_a33 = jax.random.split(key, 4)
+
+    noise = (
+        jax.random.normal(k_white, (ngrp, nside, nside))
+        * jnp.asarray(pack.read_sigma)[None]
+        / jnp.sqrt(jnp.asarray(nvec))[:, None, None]
+    )
+    reset = jax.random.normal(k_reset, (nside, nside)) * jnp.asarray(
+        pack.resetnoise
+    )
+    noise = noise + reset[None]
+    de = pack.dark_cube.shape[0] - ngrp
+    noise = noise + jnp.asarray(pack.dark_cube[de:])
+
+    # active region <- data
+    noise = noise.at[:, nb:-nb, nb:-nb].set(
+        im[:, nb:-nb, nb:-nb].astype(noise.dtype)
+    )
+
+    amp33_out = None
+    if fill_in_banding:
+        # frames: per group, 1 common + nch unique (+1 amp33)
+        per_grp = 1 + nch + (1 if amp33 is not None else 0)
+        frames = pink.pink_frames(k_pink, ngrp * per_grp, nside, channelwidth)
+        frames = frames.reshape(ngrp, per_grp, nside, channelwidth)
+        common = frames[:, 0] * pack.c_pink
+        uniq = frames[:, 1 : 1 + nch] * pack.u_pink  # (ngrp, nch, ns, cw)
+        band = uniq + common[:, None]
+        # odd channels are read in the reverse x direction
+        flip = jnp.arange(nch) % 2 == 1
+        band = jnp.where(flip[None, :, None, None], band[:, :, :, ::-1], band)
+        band = (
+            band / jnp.sqrt(jnp.asarray(nvec))[:, None, None, None]
+        )
+        band = band.transpose(0, 2, 1, 3).reshape(ngrp, nside, nside)
+        noise = noise + band
+
+        if amp33 is not None and pack.amp33_valid:
+            white = (
+                jax.random.normal(k_a33, (ngrp, nside, channelwidth))
+                * jnp.asarray(pack.amp33_std)[None]
+            )
+            pinkref = (
+                pack.amp33_ru_pink * frames[:, -1]
+                + pack.amp33_m_pink * common
+            )
+            amp33_out = jnp.asarray(pack.amp33_med)[None] + (
+                white + pinkref
+            ) / jnp.sqrt(jnp.asarray(nvec))[:, None, None]
+            amp33_out = jnp.clip(jnp.round(amp33_out), 0, 65535).astype(
+                jnp.uint16
+            )
+
+    im_u16 = jnp.clip(jnp.round(noise), 0, 2**16 - 1).astype(jnp.uint16)
+    return im_u16, amp33_out
+
+
+class Image2D:
+    """2-D truth image with WCS and metadata (reference ``Image2D:405``)."""
+
+    def __init__(self, intype, **kwargs):
+        if intype == "anlsim":
+            self.init_anlsim(kwargs["fname"])
+        else:
+            raise ValueError(f"unknown input type {intype!r}")
+
+    def init_anlsim(self, fname, flip=True):
+        m = re.search(r"_(\d+)_(\d+)\.fits", fname)
+        self.idsca = (int(m.group(1)), int(m.group(2)))
+        hdus = fits_lite.open_fits(fname)
+        data = np.array(hdus[0].data, dtype=np.float64)
+        self.header = hdus[0].header
+        if flip:
+            if self.idsca[1] % 3 == 0:
+                wcsutils.sip_hflip(data, self.header)
+            else:
+                wcsutils.sip_vflip(data, self.header)
+        self.image = data / float(self.header["EXPTIME"])  # e/s
+        # FITS (1-based) -> 0-based pixel convention
+        self.header["CRPIX1"] = self.header["CRPIX1"] - 1
+        self.header["CRPIX2"] = self.header["CRPIX2"] - 1
+        self.wcs = wcsutils.SIPWCS.from_header(self.header, zero_based=True)
+        date = self.header.get("DATE-OBS", "2025-01-01 00:00:00")
+        self.date = re.sub(" ", "T", str(date)) + "Z"
+        self.filter = str(self.header["FILTER"])[:4]
+        self.ra_ = float(self.header["RA_TARG"])
+        self.dec_ = float(self.header["DEC_TARG"])
+        self.pa_ = float(self.header["PA_OBSY"])
+
+    def simulate(self, use_read_pattern, caldir=None, config=None, seed=43,
+                 sky_rate=0.4, frame_time=None):
+        """L1 (and idealized L2 inputs) simulation.
+
+        Follows reference ``Image2D.simulate`` (``sim_to_isim.py:520-791``)
+        with the romanisim blank-image step replaced by an explicit
+        sky+dark Poisson rate (``sky_rate`` e/s/pix scaled by the flat).
+        """
+        config = config or {}
+        if caldir is None:
+            raise ValueError(
+                "caldir=None (romanisim internal defaults) is not supported; "
+                "use synth.make_cal_files for a self-contained cal set"
+            )
+        pack = calfiles.load_caldir(caldir)
+        ft = pars.read_time if frame_time is None else frame_time
+        nside = pack.nside
+        nb = pars.nborder
+        na = nside - 2 * nb
+        act = slice(nb, nside - nb)
+        key = jax.random.PRNGKey(seed)
+        k_counts, k_l1, k_fill = jax.random.split(key, 3)
+
+        # cal preparation (sim_to_isim.py:615-662)
+        gain_act = pack.gain[act, act]
+        dark_e = pack.dark_slope[act, act] * gain_act  # e/s
+        flat = pack.flat[act, act]
+        if pack.ipc_kernel is not None:
+            dark_e = np.asarray(
+                ipc.ipc_rev(jnp.asarray(dark_e), jnp.asarray(pack.ipc_kernel))
+            )
+            flat = np.asarray(
+                ipc.ipc_rev(
+                    jnp.asarray(flat), jnp.asarray(pack.ipc_kernel),
+                    gain=jnp.asarray(gain_act),
+                )
+            )
+            flat = np.clip(flat, 0.0, 2 - 2**-21)
+            dark_e = np.clip(dark_e, -0.1 * flat, None)
+
+        area = wcsutils.pixelarea(self.wcs, N=na)
+        flat_witharea = flat / (area / pars.Omega_ideal)
+        C = float(config.get("CNORM", 1.0))
+
+        # total charge rate in e/s: scene (through flat+area+gain norm)
+        # + sky (through flat) + dark
+        scene_rate = (
+            C * pack.gain[act, act] / pars.g_ideal * self.image * flat_witharea
+        )
+        rate_e = np.clip(scene_rate + sky_rate * flat + dark_e, 0.0, None)
+
+        # L1 synthesis
+        resultants, l1dq = make_l1_fullcal(
+            k_l1, jnp.asarray(rate_e, jnp.float32), use_read_pattern, pack,
+            frame_time=ft, crparam={},
+        )
+        full = jnp.zeros(
+            (len(use_read_pattern), nside, nside), jnp.float32
+        ).at[:, act, act].set(resultants)
+
+        no_amp33 = bool(caldir.get("NO_AMP33", False))
+        cw = pack.amp33_med.shape[1] if pack.amp33_valid else max(nside // 32, 4)
+        im_u16, amp33_u16 = fill_in_refdata_and_1f(
+            k_fill, full, pack, use_read_pattern, nside, cw,
+            fill_in_banding=True,
+            amp33=(np.zeros(1) if (pack.amp33_valid and not no_amp33) else None),
+            nborder=nb,
+        )
+        im_u16 = np.asarray(im_u16)
+        amp33_u16 = np.asarray(amp33_u16) if amp33_u16 is not None else None
+
+        l1tree = {
+            "meta": {
+                "exposure": {
+                    "read_pattern": [list(g) for g in use_read_pattern],
+                    "frame_time": ft,
+                    "nresultants": len(use_read_pattern),
+                    "start_time": self.date,
+                    "exposure_time": ft
+                    * (use_read_pattern[-1][-1] - use_read_pattern[0][0]),
+                },
+                "instrument": {
+                    "detector": f"WFI{self.idsca[1]:02d}",
+                    "optical_element": "F" + self.filter[1:],
+                },
+                "pointing": {
+                    "ra": self.ra_, "dec": self.dec_, "pa": self.pa_,
+                },
+            },
+            "data": im_u16,
+            "resultantdq": np.asarray(l1dq),
+        }
+        if amp33_u16 is not None:
+            l1tree["amp33"] = amp33_u16
+
+        # EXTRACT_REF: move the reference read out of the cube
+        if "EXTRACT_REF" in config:
+            off = int(config["EXTRACT_REF"].get("data_encoding_offset", 0))
+            nres = l1tree["meta"]["exposure"]["nresultants"]
+            l1tree["meta"]["instrument"]["data_encoding_offset"] = off
+            l1tree["meta"]["exposure"]["read_pattern"] = l1tree["meta"][
+                "exposure"
+            ]["read_pattern"][1:]
+            l1tree["meta"]["exposure"]["nresultants"] = nres - 1
+            l1tree["reference_read"] = l1tree["data"][0].copy()
+            modref = l1tree["data"][0].astype(np.int32) - off
+            newdata = np.clip(
+                l1tree["data"][1:].astype(np.int32) - modref[None], 0, 65535
+            ).astype(np.uint16)
+            l1tree["data"] = newdata
+            l1tree["resultantdq"] = l1tree["resultantdq"][1:]
+            if amp33_u16 is not None:
+                l1tree["reference_amp33"] = l1tree["amp33"][0].copy()
+                modref = l1tree["amp33"][0].astype(np.int32) - off
+                l1tree["amp33"] = np.clip(
+                    l1tree["amp33"][1:].astype(np.int32) - modref[None],
+                    0, 65535,
+                ).astype(np.uint16)
+
+        self.af = asdf_lite.AsdfFile(
+            {
+                "roman": l1tree,
+                "romanimpreprocess_tpu": {"version": __version__},
+            }
+        )
+        self.truth_rate = rate_e  # for validation
+
+    def L1_write_to(self, filename):
+        if hasattr(self, "af"):
+            self.af.write_to(filename)
+            return True
+        return False
+
+
+def run_config(config):
+    """Config-driven sim -> L1 (reference ``run_config:947-997``).
+
+    Writes the L1 ASDF, the FITS-WCS sidecar header, and optionally a
+    FITS viewing copy with the amp33 block appended.
+    """
+    caldir = config.get("CALDIR", None)
+    use_read_pattern = reads_to_pattern(config["READS"])
+    seed = int(config.get("SEED", 43))
+
+    x = Image2D("anlsim", fname=config["IN"])
+    x.simulate(
+        use_read_pattern, caldir=caldir, config=config, seed=seed,
+        sky_rate=float(config.get("SKY_RATE", 0.4)),
+        frame_time=config.get("FRAME_TIME"),
+    )
+    x.L1_write_to(config["OUT"])
+
+    # WCS sidecar (FITS-card text; CRPIX already 0-based per Image2D)
+    hdr = x.header.copy()
+    hdr["COMMENT"] = "truth wcs from sim_to_l1"
+    hdr.tofile(config["OUT"][:-5] + "_asdf_wcshead.txt", overwrite=True)
+
+    if config.get("FITSOUT", False):
+        f = asdf_lite.open(config["OUT"])
+        data = np.asarray(f["roman"]["data"])
+        ng2, ns = data.shape[0], data.shape[1]
+        if "amp33" in f["roman"]:
+            a33 = np.asarray(f["roman"]["amp33"])
+            out = np.zeros((ng2, ns, ns + a33.shape[-1]), np.uint16)
+            out[:, :, :ns] = data
+            out[:, :, ns:] = a33
+        else:
+            out = data
+        fits_lite.PrimaryHDU(out).writeto(
+            config["OUT"][:-5] + "_asdf_to.fits", overwrite=True
+        )
+    return x
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    run_config(load_config(argv[0]))
+
+
+if __name__ == "__main__":
+    main()

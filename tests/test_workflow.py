@@ -1,0 +1,197 @@
+"""Scaled-down end-to-end workflow test: sim -> L1 -> L2 (-> mask).
+
+Mirrors the reference's ``tests/romanimpreprocess/test_workflow.py``
+structure (synthetic scene + synthetic cal files -> full chain ->
+quantitative gates) at 128^2 geometry so it runs on the CPU test mesh.
+Full-scale (4096^2) validation runs on TPU via bench/validation tools.
+"""
+
+import numpy as np
+import pytest
+
+from romanimpreprocess_tpu.io import asdf_lite, calfiles, fits_lite
+from romanimpreprocess_tpu.pipeline import l1_to_l2, sim_to_l1
+from romanimpreprocess_tpu.synth import make_cal_files, make_scene_file
+
+READ_PATTERN = [[0], [1, 2], [3, 4, 5], [6, 7, 8, 9, 10], [11, 12], [13]]
+N = 128
+NA = N - 8
+
+
+def _reads():
+    out = []
+    for g in READ_PATTERN:
+        out += [g[0], g[-1] + 1]
+    return out
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("wf"))
+    scene = make_scene_file(d + "/truth_F184_163_4.fits", nside_active=NA, nstars=5)
+    caldir = make_cal_files(d + "/roman_wfi", READ_PATTERN, nside=N, seed=5)
+    c1 = {
+        "IN": scene, "OUT": d + "/L1.asdf", "READS": _reads(),
+        "CALDIR": caldir, "SEED": 200, "FITSOUT": True,
+    }
+    sim_to_l1.run_config(c1)
+    c2 = {
+        "IN": d + "/L1.asdf", "OUT": d + "/L2.asdf",
+        "FITSWCS": d + "/L1_asdf_wcshead.txt", "CALDIR": caldir,
+        "SKYORDER": 2, "SLICEOUT": True, "FITSOUT": True,
+        "RAMP_OPT_PARS": {"slope": 0.4, "gain": 1.8, "sigma_read": 7.0},
+        "JUMP_DETECT_PARS": {
+            "SthreshA": 10.0, "SthreshB": 4.5, "IthreshA": 0.6, "IthreshB": 600.0
+        },
+    }
+    l1_to_l2.calibrateimage(c2)
+    return d, scene, caldir, c1, c2
+
+
+def test_l1_format(workdir):
+    d, scene, caldir, c1, c2 = workdir
+    f = asdf_lite.open(d + "/L1.asdf")
+    r = f["roman"]
+    assert r["data"].shape == (len(READ_PATTERN), N, N)
+    assert r["data"].dtype == np.uint16
+    assert r["amp33"].shape[0] == len(READ_PATTERN)
+    assert r["meta"]["exposure"]["read_pattern"] == READ_PATTERN
+    # ramps must be increasing on average (charge accumulates)
+    med = [np.median(r["data"][j].astype(np.float64)) for j in range(3)]
+    assert med[2] > med[1] - 5  # dark+scene accumulation vs noise
+    # amp33 near its median level
+    assert abs(np.median(r["amp33"].astype(np.float64)) - 29000) < 50
+    # WCS sidecar exists and parses
+    h = fits_lite.Header.fromstring(open(d + "/L1_asdf_wcshead.txt").read())
+    assert "CRVAL1" in h
+
+
+def test_l2_slope_recovers_signal(workdir):
+    d, scene, caldir, c1, c2 = workdir
+    g = asdf_lite.open(d + "/L2.asdf")
+    r = g["roman"]
+    assert r["data"].shape == (NA, NA)
+    pack = calfiles.load_caldir(caldir)
+    truth = fits_lite.open_fits(scene)[0].data[::-1, :]  # SCA 4 -> vflip
+    expected = truth / pack.gain[4:-4, 4:-4] / 139.8
+    good = r["dq"] == 0
+    assert good.mean() > 0.8
+    x = np.where(good, r["data_withsky"] - expected, 0.0)
+    # sky (0.4 e/s through flat/gain) dominates the median residual
+    assert 0.15 < np.median(x[good]) < 0.45
+    # few outliers (reference gate: <50 pixels with err>100 at 4088^2)
+    assert (np.abs(x) > 5).sum() < 20
+    # sky-subtracted product is centered near zero
+    xs = np.where(good, r["data"] - expected, 0.0)
+    assert abs(np.median(xs[good])) < 0.1
+
+
+def test_l2_sky_coeffs_and_residual(workdir):
+    d, *_ = workdir
+    g = asdf_lite.open(d + "/L2.asdf")
+    coefs = np.asarray(g["processinfo"]["skycoefs"])
+    assert len(coefs) == 6
+    assert -0.3 <= coefs[0] <= 1.7
+    assert np.all(np.abs(coefs[1:]) < 1.0)
+    # data_withsky - data reconstructs the sky model from the coefs
+    from romanimpreprocess_tpu.ops.sky import sky_model_from_coefs
+
+    resid = (
+        np.asarray(g["roman"]["data_withsky"])
+        - np.asarray(g["roman"]["data"])
+        - sky_model_from_coefs(coefs, NA, NA, 2)
+    )
+    assert np.abs(resid).max() < 1e-3
+
+
+def test_l2_err_and_var_fields(workdir):
+    d, *_ = workdir
+    g = asdf_lite.open(d + "/L2.asdf")
+    r = g["roman"]
+    err = np.asarray(r["err"])
+    vp = np.asarray(r["var_poisson"])
+    vr = np.asarray(r["var_rnoise"])
+    good = r["dq"] == 0
+    assert np.all(err[good] > 0)
+    assert np.allclose(err**2, vp + vr, rtol=1e-4, atol=1e-6)
+    # read-noise error should be the right order of magnitude:
+    # sigma_read ~ 8.5 DN, t ~ 40 s -> ~ 0.3-1 DN/s
+    assert 0.05 < np.median(err[good]) < 3.0
+
+
+def test_l2_endslice_and_processinfo(workdir):
+    d, *_ = workdir
+    g = asdf_lite.open(d + "/L2.asdf")
+    pi = g["processinfo"]
+    assert pi["endslice"].shape == (NA, NA)
+    assert pi["endslice"].dtype == np.int8
+    assert pi["exclude_first"] is True
+    assert pi["meta"]["ngrp"] == len(READ_PATTERN)
+    assert len(pi["weights"]) == len(READ_PATTERN)
+    assert "log" in pi and "Ramp fit optimized" in pi["log"]
+
+
+def test_l2_border_ref_data(workdir):
+    d, *_ = workdir
+    g = asdf_lite.open(d + "/L2.asdf")
+    r = g["roman"]
+    assert r["border_ref_pix_left"].shape == (len(READ_PATTERN), N, 4)
+    assert r["dq_border_ref_pix_top"].shape == (4, N)
+    # border pdq carries REFERENCE_PIXEL (from the mask file)
+    assert np.all(r["dq_border_ref_pix_top"] & 2**31)
+
+
+def test_mask_file_outputs(workdir, tmp_path):
+    d, *_ = workdir
+    from romanimpreprocess_tpu.ops.mask import PixelMask1
+
+    PixelMask1.convert_file(d + "/L2.asdf", str(tmp_path / "m.asdf"))
+    m = asdf_lite.open(str(tmp_path / "m.asdf"))["mask"]
+    assert m.dtype == np.bool_ and m.shape == (NA, NA)
+    PixelMask1.convert_file(d + "/L2.asdf", str(tmp_path / "m.fits"))
+    hl = fits_lite.open_fits(str(tmp_path / "m.fits"))
+    assert hl[1].data.shape == (NA, NA)
+    assert np.array_equal(hl[1].data.astype(bool), m)
+
+
+def test_determinism(workdir, tmp_path):
+    """Two identical runs give identical L1 and near-identical L2
+    (reference gate: <= 2 differing mask pixels, test_workflow.py:870-874;
+    ours is exact since the device program is deterministic)."""
+    d, scene, caldir, c1, c2 = workdir
+    c1b = dict(c1, OUT=str(tmp_path / "L1b.asdf"))
+    sim_to_l1.run_config(c1b)
+    a = asdf_lite.open(d + "/L1.asdf")["roman"]["data"]
+    b = asdf_lite.open(str(tmp_path / "L1b.asdf"))["roman"]["data"]
+    assert np.array_equal(a, b)
+    c2b = dict(c2, IN=str(tmp_path / "L1b.asdf"), OUT=str(tmp_path / "L2b.asdf"))
+    l1_to_l2.calibrateimage(c2b)
+    ra = asdf_lite.open(d + "/L2.asdf")["roman"]
+    rb = asdf_lite.open(str(tmp_path / "L2b.asdf"))["roman"]
+    assert np.array_equal(np.asarray(ra["dq"]), np.asarray(rb["dq"]))
+    assert np.array_equal(np.asarray(ra["data"]), np.asarray(rb["data"]))
+
+
+def test_extract_ref_variant(workdir, tmp_path):
+    """EXTRACT_REF moves the reference read out of the cube."""
+    d, scene, caldir, c1, c2 = workdir
+    c1x = dict(
+        c1,
+        OUT=str(tmp_path / "L1x.asdf"),
+        EXTRACT_REF={"data_encoding_offset": 4000},
+    )
+    sim_to_l1.run_config(c1x)
+    f = asdf_lite.open(str(tmp_path / "L1x.asdf"))["roman"]
+    assert f["data"].shape[0] == len(READ_PATTERN) - 1
+    assert f["reference_read"].shape == (N, N)
+    assert f["meta"]["instrument"]["data_encoding_offset"] == 4000
+    assert f["meta"]["exposure"]["read_pattern"] == READ_PATTERN[1:]
+    # and it still calibrates (EXCLUDE_FIRST off, as in the reference test)
+    c2x = dict(
+        c2, IN=str(tmp_path / "L1x.asdf"), OUT=str(tmp_path / "L2x.asdf"),
+        EXCLUDE_FIRST=False,
+    )
+    l1_to_l2.calibrateimage(c2x)
+    r = asdf_lite.open(str(tmp_path / "L2x.asdf"))["roman"]
+    assert r["data"].shape == (NA, NA)
+    assert np.isfinite(np.asarray(r["data"])).all()
