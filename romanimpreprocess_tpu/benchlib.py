@@ -1,0 +1,156 @@
+"""In-memory synthetic inputs for benchmarks, entry points, and
+multi-chip dry runs (no file I/O).
+
+Builds the same detector model as :mod:`synth` but directly as arrays,
+plus a plausible L1 ramp cube, packaged as the array bundle the
+L1->L2 core consumes.
+"""
+
+import numpy as np
+
+from . import pars
+from .ops import ramp
+
+READ_PATTERN_DEFAULT = [[0], [1, 2], [3, 4, 5], [6, 7, 8, 9, 10], [11, 12], [13]]
+
+
+def synth_cal_arrays(nside, read_pattern, seed=1000, frame_time=3.04,
+                     nborder=4, channelwidth=None):
+    """Synthetic calibration arrays (host numpy), synth-generator model."""
+    rng = np.random.RandomState(seed)
+    N = nside
+    nb = nborder
+    N_ = N - 2 * nb
+    cw = channelwidth or max(N // 32, 4)
+    ngrp = len(read_pattern)
+    t = np.array([frame_time * np.mean(np.asarray(g)) for g in read_pattern])
+    x, y = np.meshgrid(np.arange(N), np.arange(N))
+
+    dark_slope = 0.005 * 10.0 ** rng.normal(0.0, 1.0, (N, N)).astype(np.float32)
+    for sl in (np.s_[:nb, :], np.s_[-nb:, :], np.s_[:, :nb], np.s_[:, -nb:]):
+        dark_slope[sl] = 0.0
+    bias = (
+        13000.0
+        + 200 * np.cos(2 * np.pi * x / 256.0)
+        + 100 * np.sin(2 * np.pi * y / 256.0) ** 3
+    )
+    dark_cube = np.clip(
+        bias[None] + dark_slope[None] * t[:, None, None], 0, 65535
+    ).astype(np.float32)
+    gain = np.clip(1.5 + 0.03 * rng.normal(size=(N, N)), 1.4, 1.6).astype(
+        np.float32
+    )
+
+    K = np.zeros((3, 3, N_, N_), dtype=np.float32)
+    K[0, 1] = K[2, 1] = 0.015
+    K[1, 0] = K[1, 2] = 0.013
+    K[0, 0] = K[2, 2] = K[0, 2] = K[2, 0] = 0.002
+    K[0, :, 0, :] = 0.0
+    K[:, 0, :, 0] = 0.0
+    K[-1, :, -1, :] = 0.0
+    K[:, -1, :, -1] = 0.0
+    K[1, 1] = 1.0 - K.sum(axis=(0, 1)) + K[1, 1]
+
+    Smin = np.clip(5000 + 500 * np.cos((x + 3 * y) / 100.0), 0.5, 65534.5).astype(np.float32)
+    Smax = np.clip(56000 + 10000 * rng.uniform(size=(N, N)), 0.5, 65534.5).astype(np.float32)
+    Sref = (Smin + 300 + 100 * (x % 2)).astype(np.float32)
+    coefs = np.zeros((4, N, N), dtype=np.float32)
+    coefs[2] = 20 + 180 * rng.uniform(size=(N, N))
+    z = 2 * (Sref - Smin) / (Smax - Smin) - 1
+    coefs[1] = (Smax - Smin) / 2.0 - 3 * coefs[2] * z
+    coefs[0] = -coefs[1] * z - coefs[2] * (1.5 * z**2 - 0.5)
+
+    flat = (0.95 + 0.1 * (x / N - 1) - 0.2 * (y / N * (1 - y / N))).astype(np.float32)
+
+    mask = np.zeros((N, N), dtype=np.uint32)
+    for sl in (np.s_[:nb, :], np.s_[-nb:, :], np.s_[:, :nb], np.s_[:, -nb:]):
+        mask[sl] |= 2**31
+
+    return dict(
+        ngrp=ngrp,
+        dark_cube=dark_cube,
+        dark_slope=dark_slope,
+        gain=gain,
+        read_sigma=(6.0 + 5.0 * rng.uniform(size=(N, N))).astype(np.float32),
+        resetnoise=(25.0 + 5.0 * rng.uniform(size=(N, N))).astype(np.float32),
+        ipc_kernel=K,
+        lin_coefs=coefs,
+        lin_smin=Smin,
+        lin_smax=Smax,
+        lin_sref=Sref,
+        lin_dq=np.zeros((N, N), np.uint32),
+        flat=flat,
+        mask_dq=mask,
+        saturation=np.clip(Smax - 50, 1.5, None).astype(np.float32),
+        saturation_dq=np.zeros((N, N), np.uint32),
+        amp33_med=np.full((N, cw), 29000.0, np.float32),
+        channelwidth=cw,
+        bias=bias.astype(np.float32),
+        t=t,
+    )
+
+
+def synth_l1_cube(cal, read_pattern, seed=7, rate_dn_s=1.0):
+    """Plausible L1 ramp: bias + rate*t + read noise, uint16."""
+    rng = np.random.RandomState(seed)
+    N = cal["gain"].shape[0]
+    ngrp = len(read_pattern)
+    rate = rate_dn_s * (0.5 + rng.uniform(size=(N, N)).astype(np.float32))
+    data = (
+        cal["bias"][None]
+        + (cal["dark_slope"] + rate)[None] * cal["t"][:, None, None]
+        + rng.normal(0, 6, (ngrp, N, N))
+    )
+    return np.clip(np.round(data), 0, 65535).astype(np.uint16)
+
+
+def core_bundle(nside=4096, read_pattern=None, seed=1000, frame_time=3.04,
+                nborder=4, skyorder=2):
+    """(arr dict, plan, cfg, geom) ready for ``l1_to_l2.make_core``."""
+    read_pattern = read_pattern or READ_PATTERN_DEFAULT
+    cal = synth_cal_arrays(nside, read_pattern, seed, frame_time, nborder)
+    ngrp = len(read_pattern)
+    cw = cal["channelwidth"]
+    data = synth_l1_cube(cal, read_pattern, seed + 1)
+
+    meta = ramp.ma_table_meta(read_pattern, frame_time)
+    u_ = 0.4 / 1.8 / 6.5**2
+    plan = ramp.build_plan(meta, u_, True, None)
+    cfg = dict(
+        exclude_first=True,
+        backup=1,
+        use_amp33=True,
+        has_biascorr=False,
+        has_dark_decay=False,
+        wfi18=False,
+        first_is_reset=(read_pattern[0] == [0]),
+        has_ipc=True,
+        has_dark_dq=False,
+        skyorder=skyorder,
+    )
+    nb = nborder
+    arr = {
+        "opt_slope": np.float32(0.5),
+        "data": data,
+        "amp33": np.full((ngrp, nside, cw), 29000.0, np.float32),
+        "amp33_med": cal["amp33_med"],
+        "dark_cube": cal["dark_cube"],
+        "dark_slope": cal["dark_slope"],
+        "dark_dq": np.zeros((nside, nside), np.uint32),
+        "gain": cal["gain"],
+        "read_sigma": cal["read_sigma"],
+        "mask_dq": cal["mask_dq"],
+        "saturation": cal["saturation"],
+        "saturation_dq": cal["saturation_dq"],
+        "biascorr": np.zeros((ngrp, nside - 2 * nb, nside - 2 * nb), np.float32),
+        "lin_coefs": cal["lin_coefs"],
+        "lin_smin": cal["lin_smin"],
+        "lin_smax": cal["lin_smax"],
+        "lin_sref": cal["lin_sref"],
+        "lin_dq": cal["lin_dq"],
+        "ipc_kernel": cal["ipc_kernel"],
+        "flat": cal["flat"],
+        "area_factor": np.ones((nside, nside), np.float32),
+        "dark_decay_signal": np.zeros(ngrp, np.float32),
+    }
+    return arr, plan, cfg, (nside, nborder, cw)

@@ -142,7 +142,7 @@ def make_core(plan, cfg, geom):
         # ---- reference pixel correction ----
         data = _refpix_correct(
             data, arr["dark_cube"], arr["amp33"], arr["amp33_med"],
-            cfg["opt_slope"], nside, nborder, channelwidth, cfg["use_amp33"],
+            arr["opt_slope"], nside, nborder, channelwidth, cfg["use_amp33"],
         )
 
         # ---- bias correction ----
@@ -371,7 +371,6 @@ def calibrateimage(config, verbose=False, return_arrays=False):
         exclude_first=exclude_first,
         backup=backup,
         use_amp33=bool(use_amp33),
-        opt_slope=opt_slope,
         has_biascorr="biascorr" in caldir,
         has_dark_decay=has_dark_decay,
         wfi18=wfi18,
@@ -383,6 +382,7 @@ def calibrateimage(config, verbose=False, return_arrays=False):
 
     de = pack.dark_cube.shape[0] - ngrp  # EXTRACT_REF trailing alignment
     arr = {
+        "opt_slope": jnp.float32(opt_slope if opt_slope is not None else 0.0),
         "data": jnp.asarray(data),
         "amp33": jnp.asarray(
             np.asarray(l1["amp33"]) if "amp33" in l1
