@@ -288,16 +288,27 @@ def ramp_fit(data, rdq, pdq, plan, gain, read_sigma, nborder=4):
     # base fit is the last row.
     v_idx = jnp.where(in_layer, firstsat - (3 + start), nvar - 1)
 
+    # Per-pixel lookups from tiny per-variant tables are expressed as
+    # where-chains (nvar is small): TPU lowers these to fused selects,
+    # whereas real gathers with 16M indices run on the scalar core.
+    def sel(table):
+        out = jnp.full((ny, nx), float(table[0]), jnp.float32)
+        for v in range(1, len(table)):
+            out = jnp.where(v_idx == v, float(table[v]), out)
+        return out
+
     # --- all candidate slopes: one matmul over the pixel axis (MXU) ---
     Wd = jnp.asarray(plan.W)  # (nvar, ngrp)
     diffs = (data - data[1][None]).reshape(ngrp, ny * nx)
     slopes_all = jnp.dot(Wd, diffs, preferred_element_type=jnp.float32)
     slopes_all = slopes_all.reshape(nvar, ny, nx)
-    slope = jnp.take_along_axis(slopes_all, v_idx[None], axis=0)[0]
+    slope = slopes_all[nvar - 1]
+    for v in range(nvar - 1):
+        slope = jnp.where(v_idx == v, slopes_all[v], slope)
 
     # --- per-pixel scalar coefficients for the selected variant ---
-    coef_sel = jnp.asarray(plan.coef_poisson)[v_idx]
-    rd_sel = jnp.asarray(plan.rd_coef)[v_idx]
+    coef_sel = sel(plan.coef_poisson)
+    rd_sel = sel(plan.rd_coef)
 
     gain_c = jnp.clip(gain, 1e-4, 1e4)
     dvardt = jnp.clip(slope / gain_c, 0.0, None)  # Poisson var (DN^2) per s
@@ -316,20 +327,26 @@ def ramp_fit(data, rdq, pdq, plan, gain, read_sigma, nborder=4):
     interior = interior.at[nb : ny - nb, nb : nx - nb].set(True)
     flag_ok = eligible & interior
 
-    jump_bits = jnp.zeros((ngrp, ny, nx), dtype=jnp.uint32)
+    group_hits = [None] * ngrp  # per-group boolean hit maps (no cube copies)
     for p, (i, di) in enumerate(plan.pairs):
-        # per-pair scalar coefficients gathered through the variant index
-        A_p = jnp.asarray(plan.A[:, p])[v_idx]
-        B_p = jnp.asarray(plan.B[:, p])[v_idx]
-        act_p = jnp.asarray(plan.pair_active[:, p])[v_idx]
+        # per-pair scalar coefficients selected through the variant index
+        A_p = sel(plan.A[:, p])
+        B_p = sel(plan.B[:, p])
+        act_p = sel(plan.pair_active[:, p].astype(np.float32)) > 0.5
         ds = (data[i + di] - data[i]) * plan.inv_dtbar[p] - slope
         var = A_p * dvardt + B_p * sig2read
         s = ds * jax.lax.rsqrt(var)
         hit = (s > sthresh) & act_p & flag_ok
-        jump_bits = jump_bits.at[i].set(
-            jump_bits[i] | jnp.where(hit, jnp.uint32(pixel.JUMP_DET), jnp.uint32(0))
-        )
+        group_hits[i] = hit if group_hits[i] is None else (group_hits[i] | hit)
 
+    jump_bits = jnp.stack(
+        [
+            jnp.where(h, jnp.uint32(pixel.JUMP_DET), jnp.uint32(0))
+            if h is not None
+            else jnp.zeros((ny, nx), jnp.uint32)
+            for h in group_hits
+        ]
+    )
     rdq_out = rdq | jump_bits
 
     # --- flag propagation to pixel DQ (reference fitting.py:339-353) ---
