@@ -299,16 +299,55 @@ def calibrateimage(config, verbose=False, return_arrays=False):
     EXCLUDE_FIRST, SATURATION_BACKUP, SLICEOUT, FITSOUT,
     correct_wfi18_transient, NOISE (used by gen_noise_image).
     """
+    pack = calfiles.load_caldir(config["CALDIR"])
+    l1 = asdf_lite.open(config["IN"])["roman"]
+    area_factor = area_factor_from_config(config, pack.nside)
+    tree, out = calibrate_tree(l1, config, pack, area_factor)
+    asdf_lite.AsdfFile(tree).write_to(config["OUT"])
+
+    if config.get("FITSOUT", False):
+        im2 = tree["roman"]
+        good = ~np.asarray(mask.PixelMask1.build(jnp.asarray(im2["dq"])))
+        fits_lite.HDUList(
+            [
+                fits_lite.PrimaryHDU(im2["data"]),
+                fits_lite.ImageHDU(im2["dq"]),
+                fits_lite.ImageHDU(np.where(good, im2["data"], -1000.0)),
+            ]
+        ).writeto(config["OUT"][:-5] + "_asdf_to.fits", overwrite=True)
+
+    if verbose:
+        print(tree["processinfo"]["log"])
+    if return_arrays:
+        return out
+    return None
+
+
+def area_factor_from_config(config, nside):
+    """FITSWCS sidecar -> pixel-area / Omega_ideal map (unit if absent)."""
+    thewcs = wcs_from_config(config)
+    if thewcs is None:
+        return np.ones((nside, nside), dtype=np.float32)
+    w = wcsutils.SIPWCS.from_header(thewcs, zero_based=True)
+    return (wcsutils.pixelarea(w, N=nside) / pars.Omega_ideal).astype(np.float32)
+
+
+def calibrate_tree(l1, config, pack, area_factor=None, verbose=False):
+    """Calibrate an in-memory L1 tree; return (L2 tree, core outputs).
+
+    This is the pure in-memory pipeline entry the noise engine re-enters
+    (the reference re-enters through temp files,
+    ``gen_noise_image.py:147-154``; here it is a function call and the
+    jitted core is reused across realizations).
+    """
     mylog = ProcessLog()
     caldir = config["CALDIR"]
-    pack = calfiles.load_caldir(caldir)
     nside = pack.nside
     nborder = pars.nborder
     nb = nborder
+    if area_factor is None:
+        area_factor = np.ones((nside, nside), dtype=np.float32)
 
-    # ---- L1 input ----
-    f_l1 = asdf_lite.open(config["IN"])
-    l1 = f_l1["roman"]
     l1meta = l1["meta"]
     data = np.asarray(l1["data"])
     ngrp = data.shape[0]
@@ -336,18 +375,6 @@ def calibrateimage(config, verbose=False, return_arrays=False):
     )
     mylog.append(f"\n\nRamp fit optimized for u = {u_:11.5E} s**-1\n")
     mylog.append("weights = {}\n".format(plan.W[-1]))
-
-    # ---- WCS -> pixel area factor ----
-    thewcs = wcs_from_config(config)
-    if thewcs is not None:
-        w = wcsutils.SIPWCS.from_header(thewcs, zero_based=True)
-        area_factor = (
-            wcsutils.pixelarea(w, N=nside) / pars.Omega_ideal
-        ).astype(np.float32)
-        mylog.append("acquired flat field\n")
-    else:
-        area_factor = np.ones((nside, nside), dtype=np.float32)
-        mylog.append("no WCS provided; unit pixel-area factor\n")
 
     # ---- static config + array bundle ----
     use_amp33 = pack.amp33_valid and "amp33" in l1
@@ -520,23 +547,9 @@ def calibrateimage(config, verbose=False, return_arrays=False):
         processinfo["endslice"] = np.asarray(out["endslice"], np.int8)
 
     tree = {"roman": im2, "processinfo": processinfo}
-    asdf_lite.AsdfFile(tree).write_to(config["OUT"])
-
-    if config.get("FITSOUT", False):
-        good = ~np.asarray(mask.PixelMask1.build(jnp.asarray(im2["dq"])))
-        fits_lite.HDUList(
-            [
-                fits_lite.PrimaryHDU(im2["data"]),
-                fits_lite.ImageHDU(im2["dq"]),
-                fits_lite.ImageHDU(np.where(good, im2["data"], -1000.0)),
-            ]
-        ).writeto(config["OUT"][:-5] + "_asdf_to.fits", overwrite=True)
-
     if verbose:
         print(mylog.output)
-    if return_arrays:
-        return out
-    return None
+    return tree, out
 
 
 def _jsonable(obj):

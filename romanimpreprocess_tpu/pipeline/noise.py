@@ -1,0 +1,303 @@
+"""Monte-Carlo noise realizations: the ``gen_noise_image`` equivalent.
+
+Re-implements the reference's noise engine
+(``L1_to_L2/gen_noise_image.py:60-400``): alternative L1 realizations
+pushed through the full L1->L2 pipeline and differenced to produce
+"noise only" slope images, controlled by the layer mini-DSL
+(``'Rz4S2C1'``, ``'O'``, ``'Prb2'``; spec
+``docs/L1_to_L2_README.rst:207-239``).
+
+Structural win vs the reference: the reference writes each perturbed L1
+to a temp file and re-invokes the file-driven pipeline (2-3 full
+file round trips per 'R' layer, ``gen_noise_image.py:114-154``); here
+the perturbed cube is handed to :func:`l1_to_l2.calibrate_tree` in
+memory and the jitted calibration core is reused across realizations.
+
+Layer commands (capital letter + lower-case/numeric arguments):
+
+- ``R``   : read-noise realization (white + 1/f + amp33); ``a`` = add to
+  the science data (default replaces it with the dark cube); ``z<num>``
+  = IQR clipping of the difference at ``<num>`` pseudo-sigma.
+- ``O``   : Pearson pseudo-Poisson debiasing draws per endslice class.
+- ``P``   : re-sampled Poisson noise; ``b<order>`` = sky-only (medfit of
+  given order); ``r`` = per-raw-read resampling.
+- ``S<order>`` : subtract the medfit sky of the given order.
+- ``C...``: comment (ignored).
+"""
+
+import sys
+from copy import deepcopy
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import pars
+from ..config import layer_subscript, load_config
+from ..galpoisson import draw_from_pearson, get_tilde_nus
+from ..io import asdf_lite, calfiles, fits_lite
+from ..ops import sky
+from . import l1_to_l2, sim_to_l1
+
+
+def _weightvecs_and_endslice(processinfo, ngrp):
+    """Per-endslice ramp-fit weight vectors + clipped endslice map
+    (reference ``gen_noise_image.py:185-208``)."""
+    meta = processinfo["meta"]
+    start = 1 if processinfo["exclude_first"] else 0
+    weightvecs = [None] * ngrp
+    weightvecs[ngrp - 1] = np.asarray(processinfo["weights"], np.float32)
+    tbar = np.asarray(meta["tbar"], np.float64)
+    for iend in range(start + 2, ngrp):
+        Kt = np.zeros(ngrp, dtype=np.float32)
+        Kt[iend - 1] = 1.0 / (tbar[iend - 1] - tbar[start])
+        Kt[start] = -Kt[iend - 1]
+        weightvecs[iend - 1] = Kt
+    endslice = np.asarray(processinfo["endslice"])
+    endslice = np.where(endslice > 0, endslice, ngrp - 1)
+    return weightvecs, endslice, start
+
+
+def _poisson_resample_layer(key, e_per_slice, gain, read_pattern, weightvecs,
+                            endslice, ngrp):
+    """Per-raw-read Poisson resampling contracted by per-pixel endslice
+    weights (reference 'P...r', ``gen_noise_image.py:268-322``), jitted.
+    """
+    lastsamp = read_pattern[-1][-1]
+    n = e_per_slice.shape[0]
+
+    g_of_r = np.full(lastsamp + 1, ngrp, np.int32)
+    wgt = np.zeros(lastsamp + 1, np.float32)
+    for j, grp in enumerate(read_pattern):
+        for r in grp:
+            g_of_r[r] = j
+            wgt[r] = 1.0 / len(grp)
+
+    W = np.zeros((ngrp, ngrp), np.float32)  # W[es, j]
+    for es in range(ngrp):
+        if weightvecs[es] is not None:
+            W[es] = weightvecs[es]
+
+    @jax.jit
+    def run(e_exp, gain_d, endslice_d, k):
+        g_of_r_d = jnp.asarray(g_of_r)
+        wgt_d = jnp.asarray(wgt)
+
+        def body(r, carry):
+            cum, dres = carry
+            kk = jax.random.fold_in(k, r)
+            sample = (
+                jax.random.poisson(kk, e_exp).astype(jnp.float32) - e_exp
+            ) / gain_d
+            cum = cum + sample
+            dres = dres.at[g_of_r_d[r]].add(cum * wgt_d[r], mode="drop")
+            return cum, dres
+
+        cum0 = jnp.zeros((n, n), jnp.float32)
+        dres0 = jnp.zeros((ngrp + 1, n, n), jnp.float32)
+        _, dres = jax.lax.fori_loop(0, lastsamp + 1, body, (cum0, dres0))
+        dres = dres[:ngrp]
+        # per-pixel weight selection by endslice (select-chain, no gather)
+        Wd = jnp.asarray(W)
+        out = jnp.zeros((n, n), jnp.float32)
+        for es in range(ngrp):
+            if weightvecs[es] is None:
+                continue
+            contrib = jnp.tensordot(Wd[es], dres, axes=1)
+            out = out + jnp.where(endslice_d == es, contrib, 0.0)
+        return out
+
+    return np.asarray(
+        run(jnp.asarray(e_per_slice), jnp.asarray(gain),
+            jnp.asarray(endslice), key)
+    )
+
+
+def make_noise_cube(config, seed=None):
+    """Build the (N_layers, nside_active, nside_active) noise cube."""
+    seed = int(config["NOISE"]["SEED"] if seed is None else seed)
+    key = jax.random.PRNGKey(seed)
+    rng = np.random.default_rng(seed)
+
+    pack = calfiles.load_caldir(config["CALDIR"])
+    nside = pack.nside
+    nb = pars.nborder
+    na = nside - 2 * nb
+    act = slice(nb, nside - nb)
+    area_factor = l1_to_l2.area_factor_from_config(config, nside)
+
+    base_l1 = asdf_lite.open(config["IN"])["roman"]
+    base_l2 = asdf_lite.open(config["OUT"])
+    if "endslice" not in base_l2["processinfo"]:
+        raise ValueError(
+            "noise generation requires the base L2 run with SLICEOUT=True"
+        )
+
+    layers = config["NOISE"]["LAYER"]
+    noiseimage = np.zeros((len(layers), na, na), dtype=np.float32)
+
+    read_pattern = [list(g) for g in base_l1["meta"]["exposure"]["read_pattern"]]
+    ngrp = len(read_pattern)
+    frame_time = float(
+        base_l1["meta"]["exposure"].get("frame_time", pars.read_time)
+    )
+    nvec = np.asarray([len(g) for g in read_pattern], np.float32)
+    cw = (
+        np.asarray(base_l1["amp33"]).shape[-1]
+        if "amp33" in base_l1 else max(nside // 32, 4)
+    )
+
+    for i_noise, cmd in enumerate(layers):
+        lkey = jax.random.fold_in(key, i_noise)
+        mytree = deepcopy(dict(base_l1))
+        diff = np.zeros((na, na), dtype=np.float32)
+
+        if "R" in cmd:
+            flags = layer_subscript(cmd, "R")
+
+            if "a" not in flags:
+                # reference run: the dark cube pushed through the pipeline
+                de = pack.dark_cube.shape[0] - ngrp
+                if de not in (0, 1):
+                    raise ValueError("Dark data cube has the wrong shape.")
+                mytree["data"] = np.clip(
+                    pack.dark_cube[de:], 0, 65535
+                ).astype(np.uint16)
+                ref_tree, _ = l1_to_l2.calibrate_tree(
+                    mytree, config, pack, area_factor
+                )
+                orig_data = np.asarray(ref_tree["roman"]["data"])
+            else:
+                orig_data = np.asarray(base_l2["roman"]["data"])
+
+            # white read noise on the active region, then a full
+            # reference-pixel / 1-f / amp33 refill
+            kw, kf = jax.random.split(jax.random.fold_in(lkey, 0))
+            data = mytree["data"].astype(np.float32)
+            white = np.asarray(
+                jax.random.normal(kw, (ngrp, na, na))
+            ) * pack.read_sigma[act, act][None] / np.sqrt(nvec)[:, None, None]
+            data[:, act, act] = np.clip(
+                np.round(data[:, act, act] + white), 0, 65535
+            )
+            im_u16, amp33_u16 = sim_to_l1.fill_in_refdata_and_1f(
+                kf, jnp.asarray(data), pack, read_pattern, nside, int(cw),
+                fill_in_banding=True,
+                amp33=(np.zeros(1) if ("amp33" in mytree and pack.amp33_valid)
+                       else None),
+                nborder=nb,
+            )
+            mytree["data"] = np.asarray(im_u16)
+            if amp33_u16 is not None:
+                mytree["amp33"] = np.asarray(amp33_u16)
+
+            new_tree, _ = l1_to_l2.calibrate_tree(
+                mytree, config, pack, area_factor
+            )
+            diff = (
+                np.asarray(new_tree["roman"]["data"]) - orig_data
+            ).astype(np.float32)
+
+            if "z" in flags:
+                zclip = float(layer_subscript(flags.upper(), "Z"))
+                iqr = np.percentile(diff, 75) - np.percentile(diff, 25)
+                med = np.percentile(diff, 50)
+                diff = np.clip(
+                    diff, med - zclip * iqr / 1.34896, med + zclip * iqr / 1.34896
+                )
+
+        if "O" in cmd:
+            gain = np.clip(pack.gain, 1e-4, 1e4)
+            d = (gain.shape[-1] - na) // 2
+            gain_a = gain[d:-d, d:-d] if d > 0 else gain
+            gI = gain_a * np.asarray(base_l2["roman"]["data_withsky"])
+
+            weightvecs, endslice, start = _weightvecs_and_endslice(
+                base_l2["processinfo"], ngrp
+            )
+            a_beta = np.array([g[0] for g in read_pattern])
+            N_beta = np.array([len(g) for g in read_pattern])
+
+            noise_array = np.zeros((na, na), dtype=np.float32)
+            for i in range(start + 1, ngrp):
+                if weightvecs[i] is None:
+                    continue
+                t21, t31, t41, t42 = get_tilde_nus(N_beta, a_beta, weightvecs[i])
+                t21 *= frame_time
+                t31 *= frame_time**2
+                t41 *= frame_time**3
+                pix = np.where(endslice == i)
+                if len(pix[0]) == 0:
+                    continue
+                noise_array[pix] = draw_from_pearson(
+                    t21, t31, t41, gI[pix], rng=rng
+                )
+            diff += noise_array / gain_a
+
+        if "P" in cmd:
+            flags = layer_subscript(cmd, "P")
+            if "b" in flags:
+                sky_order = int("0" + layer_subscript(flags.upper(), "B"))
+                _, skylevel = sky.medfit(
+                    jnp.asarray(base_l2["roman"]["data_withsky"]),
+                    order=sky_order,
+                )
+                skylevel = np.asarray(skylevel)
+            else:
+                skylevel = np.asarray(base_l2["roman"]["data_withsky"]).copy()
+
+            weightvecs, endslice, start = _weightvecs_and_endslice(
+                base_l2["processinfo"], ngrp
+            )
+
+            if "r" in flags:
+                gain = np.clip(pack.gain, 1e-4, 1e4)
+                d = (gain.shape[-1] - na) // 2
+                gain_a = gain[d:-d, d:-d] if d > 0 else gain
+                e_per_slice = np.clip(
+                    skylevel * gain_a * frame_time, 0.0, None
+                ).astype(np.float32)
+                diff += _poisson_resample_layer(
+                    jax.random.fold_in(lkey, 1), e_per_slice, gain_a,
+                    read_pattern, weightvecs, endslice, ngrp,
+                )
+
+        if "S" in cmd:
+            sky_order = int("0" + layer_subscript(cmd, "S"))
+            _, model = sky.medfit(jnp.asarray(diff), order=sky_order)
+            diff = diff - np.asarray(model)
+
+        noiseimage[i_noise] = diff
+
+    return noiseimage
+
+
+def generate_all_noise(config):
+    """Driver: build the noise cube and write the output ASDF (and
+    optional FITS).  Reference: ``gen_noise_image.generate_all_noise:334``.
+    """
+    noiseimage = make_noise_cube(config)
+
+    if "NOISE_PRECISION" in config:
+        if config["NOISE_PRECISION"] == 16:
+            noiseimage = noiseimage.astype(np.float16)
+        if config["NOISE_PRECISION"] not in (16, 32):
+            raise ValueError("Unsupported noise precision.")
+
+    tree = {"config": l1_to_l2._jsonable(config), "noise": noiseimage}
+    asdf_lite.AsdfFile(tree).write_to(config["NOISE"]["OUT"])
+    if config.get("FITSOUT", False):
+        fits_lite.PrimaryHDU(noiseimage.astype(np.float32)).writeto(
+            config["NOISE"]["OUT"][:-5] + "_asdf_to.fits", overwrite=True
+        )
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    config = load_config(argv[0])
+    l1_to_l2.calibrateimage(config | {"SLICEOUT": True})
+    generate_all_noise(config)
+
+
+if __name__ == "__main__":
+    main()
