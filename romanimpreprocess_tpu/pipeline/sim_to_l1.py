@@ -458,6 +458,70 @@ class Image2D:
         return False
 
 
+class Image2D_from_L1(Image2D):
+    """Shortcut workflow: a 2-D image constructed from an L1 data file
+    (reference ``Image2D_from_L1:837-944``).  For production use the
+    full ``l1_to_l2`` pipeline; this is the idealized pass-through.
+    """
+
+    def __init__(self, infile, caldir, thewcs=None):
+        self.af = asdf_lite.open(infile)
+        self.caldir = caldir
+        self.thewcs = thewcs
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+    def pseudocalibrate(self, u=0.4 / 1.8 / 6.5**2):
+        """Idealized L2: linearity-corrected Casertano slope fit, no
+        reference-pixel/IPC/jump machinery (the romanisim ``make_l2``
+        analog used by the reference's shortcut path).
+        """
+        if self.thewcs is not None and not isinstance(
+            self.thewcs, fits_lite.Header
+        ):
+            raise ValueError("Unrecognized WCS")
+        pack = calfiles.load_caldir(self.caldir)
+        l1 = self.af["roman"]
+        nb = pars.nborder
+        nside = pack.nside
+        act = slice(nb, nside - nb)
+        data = np.asarray(l1["data"], np.float32)
+        read_pattern = [list(g) for g in l1["meta"]["exposure"]["read_pattern"]]
+        ft = float(l1["meta"]["exposure"].get("frame_time", pars.read_time))
+        meta = ramp.ma_table_meta(read_pattern, ft)
+        exclude_first = read_pattern[0] == [0]
+
+        lin = linearity.LinearityData(
+            jnp.asarray(pack.lin_coefs), jnp.asarray(pack.lin_smin),
+            jnp.asarray(pack.lin_smax), jnp.asarray(pack.lin_sref),
+            jnp.asarray(pack.lin_dq),
+        )
+        lin_cube, _ = linearity.apply_linearity_cube(
+            jnp.asarray(data), lin, do_not_flag_first=exclude_first
+        )
+        K = ramp.casertano_weights(u, meta, exclude_first)
+        slope = np.einsum("t,tij->ij", K, np.asarray(lin_cube))
+        slope = slope[act, act] - pack.dark_slope[act, act]
+        flat = np.clip(pack.flat[act, act], 0.1, 10.0)
+        slope = slope / flat
+
+        self.af2 = asdf_lite.AsdfFile(
+            {
+                "roman": {
+                    "meta": dict(l1["meta"]),
+                    "data": slope.astype(np.float32),
+                    "dq": np.zeros(slope.shape, np.uint32),
+                },
+                "romanimpreprocess_tpu": {"version": __version__},
+            }
+        )
+        return self.af2
+
+
 def run_config(config):
     """Config-driven sim -> L1 (reference ``run_config:947-997``).
 
