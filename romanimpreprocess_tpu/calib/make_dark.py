@@ -1,0 +1,174 @@
+"""Dark and read-noise reference-file production.
+
+Equivalent of the reference's ``make_dark_file.py``
+(``runs/summer2025run/make_dark_file.py:1-210``): from a set of
+converted dark-exposure ramp cubes plus the solid-waffle noise summary,
+builds
+
+- the ``dark`` file: 3-sigma-clipped group-averaged dark cube (DN),
+  dark-current slope map (hi/lo switch at 200 DN/s) and its error,
+- the ``read`` file: single-read noise (CDS/sqrt(2)), reset noise,
+  1/f amplitudes (ACN/C_PINK/U_PINK) and amp33 reference-output stats.
+
+The sigma-clipped stack over the exposure axis — the reference's ~7 GB
+host loop — runs as a jitted fixed-iteration clip on device.
+"""
+
+from datetime import datetime, timezone
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import __version__, pars
+from ..config import reads_to_pattern
+from ..io import asdf_lite, fits_lite
+
+
+@jax.jit
+def sigma_clip_mean(stack, sigma=3.0, iters=5):
+    """Mean over axis 0 with iterative sigma clipping (masked, like
+    ``astropy.stats.sigma_clip(..., axis=0)`` + nanmean)."""
+    good = jnp.ones(stack.shape, dtype=bool)
+
+    def body(_, good):
+        n = jnp.sum(good, axis=0)
+        mean = jnp.sum(jnp.where(good, stack, 0.0), axis=0) / jnp.maximum(n, 1)
+        var = jnp.sum(
+            jnp.where(good, (stack - mean[None]) ** 2, 0.0), axis=0
+        ) / jnp.maximum(n - 1, 1)
+        std = jnp.sqrt(var)
+        return good & (jnp.abs(stack - mean[None]) <= sigma * std[None] + 1e-30)
+
+    good = jax.lax.fori_loop(0, iters, body, good)
+    n = jnp.sum(good, axis=0)
+    return jnp.sum(jnp.where(good, stack, 0.0), axis=0) / jnp.maximum(n, 1)
+
+
+def _ref_meta(reftype, sca, pattern_name="", ngroups=0):
+    return {
+        "author": "romanimpreprocess_tpu.calib",
+        "description": f"calib.make_dark ({reftype})",
+        "exposure": {
+            "groupgap": 0,
+            "ma_table_name": pattern_name,
+            "ma_table_number": 1000000,
+            "nframes": 1,
+            "ngroups": ngroups,
+            "p_exptype": "WFI_IMAGE|",
+            "type": "WFI_IMAGE",
+        },
+        "instrument": {"detector": f"WFI{sca:02d}", "name": "WFI"},
+        "origin": "PIT - romanimpreprocess_tpu",
+        "date": datetime.now(timezone.utc).isoformat(),
+        "pedigree": "DUMMY",
+        "reftype": reftype,
+        "telescope": "ROMAN",
+        "useafter": "2020-01-01T00:00:00.000",
+        "software_version": __version__,
+    }
+
+
+def group_average_darks(noise_files, read_pattern, nside=None):
+    """Sigma-clipped group-averaged dark cube from converted dark ramps.
+
+    ``noise_files``: paths of convert_exposure outputs (cube in HDU 1).
+    Returns (ngrp, ny, nx_aug) float32.
+    """
+    ngrp = len(read_pattern)
+    darkave = None
+    for ig in range(ngrp):
+        stack = []
+        for path in noise_files:
+            hdus = fits_lite.open_fits(path)
+            cube = hdus[1].data[0]
+            lo, hi = read_pattern[ig][0], read_pattern[ig][-1] + 1
+            stack.append(cube[lo:hi].astype(np.float32).mean(axis=0))
+        stack = jnp.asarray(np.stack(stack))
+        avg = np.asarray(sigma_clip_mean(stack))
+        if darkave is None:
+            darkave = np.zeros((ngrp,) + avg.shape, dtype=np.float32)
+        darkave[ig] = avg
+    return darkave
+
+
+def make_dark_and_read_files(pattern_name, reads, noise_files,
+                             noise_summary_file, sca, outfile,
+                             nside=None):
+    """Build the dark + read ASDF reference files.
+
+    ``noise_summary_file`` is a solid-waffle noise-run FITS whose HDU 1
+    header indexes the analysis planes (DARK1/DARK1ERR/DARK2/DARK2ERR/
+    CDS/RESET, plus ACN/C_PINK/U_PINK noise amplitudes) and which may
+    carry an AMP33 extension (med/std planes + M_PINK/RU_PINK header).
+    Returns (dark_path, read_path).
+    """
+    nside = nside or pars.nside
+    read_pattern = reads_to_pattern(reads)
+    ngrp = len(read_pattern)
+
+    darkave = group_average_darks(noise_files, read_pattern)
+
+    hdus = fits_lite.open_fits(noise_summary_file)
+    h = hdus[1].header
+    planes = hdus[1].data
+
+    def plane(idx_key):
+        return planes[int(h[idx_key]), :, :nside].astype(np.float32)
+
+    dark1 = plane("DARK1")
+    dark1e = plane("DARK1ERR")
+    dark2 = plane("DARK2")
+    dark2e = plane("DARK2ERR")
+    use1 = dark2 > 200.0  # switch to the short-baseline fit when bright
+    dark_slope = np.where(use1, dark1, dark2).astype(np.float32)
+    dark_slope_err = np.where(use1, dark1e, dark2e).astype(np.float32)
+
+    cw = max(nside // pars.nchannel, 4)
+    amp33 = {
+        "valid": False,
+        "med": np.zeros((nside, cw), np.float32),
+        "std": np.zeros((nside, cw), np.float32),
+        "M_PINK": 0.0,
+        "RU_PINK": 0.0,
+    }
+    for hdu in hdus[2:]:
+        if str(hdu.header.get("EXTNAME", "")).strip() == "AMP33":
+            amp33 = {
+                "valid": True,
+                "med": hdu.data[0].astype(np.float32),
+                "std": hdu.data[1].astype(np.float32),
+                "M_PINK": float(hdu.header["M_PINK"]),
+                "RU_PINK": float(hdu.header["RU_PINK"]),
+            }
+
+    dark_tree = {
+        "roman": {
+            "meta": _ref_meta("DARK", sca, pattern_name, ngrp),
+            "data": darkave[:, :, :nside].astype(np.float32),
+            "dq": np.zeros((nside, nside), np.uint32),
+            "dark_slope": dark_slope,
+            "dark_slope_err": dark_slope_err,
+        },
+        "notes": {"noise_header": h.tostring(padding=False)},
+    }
+    asdf_lite.AsdfFile(dark_tree).write_to(outfile)
+
+    read_tree = {
+        "roman": {
+            "meta": _ref_meta("READNOISE", sca, pattern_name, ngrp),
+            "data": (plane("CDS") / np.sqrt(2.0)).astype(np.float32),
+            "resetnoise": plane("RESET"),
+            "anc": {
+                "ACN": float(h["ACN"]),
+                "C_PINK": float(h["C_PINK"]),
+                "U_PINK": float(h["U_PINK"]),
+                "UNIT": "DN",
+            },
+            "amp33": amp33,
+        },
+        "notes": {"noise_header": h.tostring(padding=False)},
+    }
+    read_path = outfile.replace("_dark_", "_read_")
+    asdf_lite.AsdfFile(read_tree).write_to(read_path)
+    return outfile, read_path

@@ -1,0 +1,77 @@
+"""Pixel-mask reference-file production.
+
+Equivalent of the reference's ``makemask.py`` (``runs/summer2025run``,
+plus the 2026_July gain-dq variant): flags
+
+- the 4-pixel reference border (REFERENCE_PIXEL, bit 31),
+- low-QE pixels (pflat < 0.5 of its median, bit 13),
+- hot (> 12.5 DN/s, bit 11) and warm (> 0.25 DN/s, bit 12) pixels from
+  the dark slope,
+- plus the linearity dq, and optionally the gain dq.
+"""
+
+from datetime import datetime, timezone
+
+import numpy as np
+
+from .. import __version__, pars
+from ..dqflags import pixel
+from ..io import asdf_lite
+
+HOT_THRESHOLD = 12.5  # DN/s
+WARM_THRESHOLD = 0.25  # DN/s
+LOW_QE_FRACTION = 0.5
+
+
+def make_mask_file(out_path, sca, lin_file, dark_file, gain_file=None,
+                   nside=None):
+    nside = nside or pars.nside
+    nb = pars.nborder
+    dq = np.zeros((nside, nside), dtype=np.uint32)
+
+    dq[:nb, :] |= np.uint32(pixel.REFERENCE_PIXEL)
+    dq[-nb:, :] |= np.uint32(pixel.REFERENCE_PIXEL)
+    dq[:, :nb] |= np.uint32(pixel.REFERENCE_PIXEL)
+    dq[:, -nb:] |= np.uint32(pixel.REFERENCE_PIXEL)
+
+    lin = asdf_lite.open(lin_file)["roman"]
+    pflat = np.asarray(lin["pflat"])
+    if pflat.ndim == 3:
+        pflat = pflat[0]
+    pflat = pflat / np.median(pflat)
+    dq |= np.asarray(lin["dq"], np.uint32)
+    dq |= np.where(
+        pflat < LOW_QE_FRACTION, np.uint32(pixel.LOW_QE), np.uint32(0)
+    )
+
+    darkslope = np.asarray(asdf_lite.open(dark_file)["roman"]["dark_slope"])
+    dq |= np.where(
+        darkslope > WARM_THRESHOLD,
+        np.where(darkslope > HOT_THRESHOLD, np.uint32(pixel.HOT),
+                 np.uint32(pixel.WARM)),
+        np.uint32(0),
+    ).astype(np.uint32)
+
+    if gain_file is not None:  # 2026_July variant: OR the gain dq
+        dq |= np.asarray(asdf_lite.open(gain_file)["roman"]["dq"], np.uint32)
+
+    asdf_lite.AsdfFile(
+        {
+            "roman": {
+                "meta": {
+                    "author": "romanimpreprocess_tpu.calib",
+                    "description": "calib.makemask",
+                    "instrument": {"detector": f"WFI{sca:02d}", "name": "WFI"},
+                    "origin": "PIT - romanimpreprocess_tpu",
+                    "date": datetime.now(timezone.utc).isoformat(),
+                    "pedigree": "DUMMY",
+                    "reftype": "MASK",
+                    "telescope": "ROMAN",
+                    "useafter": "2020-01-01T00:00:00.000",
+                    "software_version": __version__,
+                },
+                "dq": dq,
+            }
+        }
+    ).write_to(out_path)
+    return out_path

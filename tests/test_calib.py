@@ -1,0 +1,288 @@
+"""Calibration-production subsystem tests.
+
+Closes the production loop at small geometry: synthetic raw frames ->
+convert -> dark/read builders (+ solid-waffle-format inputs) -> gain/ipc
+builders -> pflat/saturation/biascorr -> mask -> the produced CALDIR
+calibrates an exposure end to end.
+"""
+
+import numpy as np
+import pytest
+
+from romanimpreprocess_tpu import pars
+from romanimpreprocess_tpu.calib import (
+    convert,
+    make_dark,
+    make_gain,
+    makemask,
+    postprocess,
+    swconfig,
+)
+from romanimpreprocess_tpu.io import asdf_lite, fits_lite
+from romanimpreprocess_tpu.synth import make_cal_files
+
+READS = [0, 1, 1, 3, 3, 6, 6, 9, 9, 11]
+READ_PATTERN = [[0], [1, 2], [3, 4, 5], [6, 7, 8], [9, 10]]
+N = 128
+NB = 4
+CW = N // 32
+NAUG = N + CW
+DT = 3.04
+
+
+def _write_raw_frames(d, sca, nframes, rng, dark_slope, bias):
+    """Per-frame raw FITS in the Detector frame."""
+    paths = []
+    for k in range(nframes):
+        img = bias + dark_slope * DT * k + rng.normal(0, 6, (N, NAUG))
+        frame = np.clip(np.round(img), 0, 65535).astype(np.uint16)
+        # write in DETECTOR frame (undo the science flip for this sca)
+        if sca % 3 == 0:
+            frame[:, :N] = frame[:, N - 1 :: -1]
+        else:
+            frame = frame[::-1, :]
+        h = fits_lite.Header()
+        h["DATE"] = f"2026-01-01T00:00:{k:02d}"
+        p = f"{d}/frame_{k:03d}.fits"
+        fits_lite.PrimaryHDU(frame, header=h).writeto(p)
+        paths.append(p)
+    return paths
+
+
+@pytest.fixture(scope="module")
+def production(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("calprod"))
+    rng = np.random.RandomState(77)
+    sca = 4
+    dark_slope_true = 0.05 * 10.0 ** rng.normal(-0.3, 0.5, (N, NAUG))
+    bias = 12000 + 100 * np.cos(np.arange(NAUG) / 17.0)[None, :]
+
+    # ---- convert 4 dark exposures ----
+    noise_files = []
+    for e in range(1, 5):
+        frames = _write_raw_frames(
+            d + "/", sca, 12, np.random.RandomState(e), dark_slope_true, bias
+        )
+        out = f"{d}/99999999_SCA{sca:02d}_Noise_{e:03d}.fits"
+        convert.convert_exposure(frames, out, sca, frame_time=DT)
+        noise_files.append(out)
+
+    # ---- solid-waffle noise summary (synthetic, reference format) ----
+    planes = np.zeros((8, N, NAUG), np.float32)
+    h = fits_lite.Header()
+    h["DARK1"], h["DARK1ERR"], h["DARK2"], h["DARK2ERR"] = 0, 1, 2, 3
+    h["CDS"], h["RESET"] = 4, 5
+    h["ACN"], h["C_PINK"], h["U_PINK"] = 0.1, 0.8, 0.4
+    planes[0] = dark_slope_true / DT  # DN/s (bright fit)
+    planes[1] = 0.01
+    planes[2] = dark_slope_true / DT
+    planes[3] = 0.005
+    planes[4] = 8.5  # CDS noise
+    planes[5] = 27.0  # reset noise
+    a33 = np.zeros((2, N, CW), np.float32)
+    a33[0] = 29000.0
+    a33[1] = 4.0
+    ah = fits_lite.Header()
+    ah["EXTNAME"] = "AMP33"
+    ah["M_PINK"], ah["RU_PINK"] = 0.8, 1.0
+    summary_path = d + "/noise_summary.fits"
+    fits_lite.HDUList(
+        [
+            fits_lite.PrimaryHDU(),
+            fits_lite.HDU(planes, header=h),
+            fits_lite.HDU(a33, header=ah),
+        ]
+    ).writeto(summary_path)
+
+    # settings yaml for the pattern name
+    import yaml
+
+    with open(d + "/settings_TESTPAT.yaml", "w") as f:
+        yaml.safe_dump({"READS": READS}, f)
+
+    dark_path = f"{d}/roman_wfi_dark_PROD_SCA{sca:02d}.asdf"
+    make_dark.make_dark_and_read_files(
+        "TESTPAT", READS, noise_files, summary_path, sca, dark_path, nside=N
+    )
+
+    # ---- solid-waffle gain summaries (synthetic tables) ----
+    nsx = nsy = 8
+    ncol = 12
+    rows = []
+    for iy in range(nsy):
+        for ix in range(nsx):
+            row = np.zeros(ncol)
+            row[make_gain.SW_COLS["X"]] = ix
+            row[make_gain.SW_COLS["Y"]] = iy
+            row[make_gain.SW_COLS["N"]] = 100 if (ix, iy) != (3, 3) else 0
+            row[make_gain.SW_COLS["g"]] = 1.5 + 0.01 * ix
+            row[make_gain.SW_COLS["aH"]] = 0.013
+            row[make_gain.SW_COLS["aV"]] = 0.015
+            row[make_gain.SW_COLS["aD"]] = 0.002
+            rows.append(row)
+    tab = np.array(rows)
+    sfiles = []
+    for j in range(2):
+        p = f"{d}/sw_summary_{j}.txt"
+        np.savetxt(p, tab)
+        sfiles.append(p)
+
+    gain_path = f"{d}/roman_wfi_gain_PROD_SCA{sca:02d}.asdf"
+    make_gain.make_gain_and_ipc_files(sfiles, sca, gain_path, nside=N)
+
+    # ---- linearity file: reuse the synth generator's analytic model ----
+    syn = make_cal_files(d + "/synsrc", READ_PATTERN, nside=N, seed=9,
+                         tag="SYN", sca=sca)
+    lin_path = syn["linearitylegendre"]
+
+    pflat_path = f"{d}/roman_wfi_pflat_PROD_SCA{sca:02d}.asdf"
+    postprocess.make_pflat_file(lin_path, gain_path, pflat_path, sca)
+    sat_path = f"{d}/roman_wfi_saturation_PROD_SCA{sca:02d}.asdf"
+    postprocess.make_saturation_file(lin_path, sat_path, sca)
+    bias_path = f"{d}/roman_wfi_biascorr_PROD_SCA{sca:02d}.asdf"
+    postprocess.make_biascorr_file(
+        lin_path, dark_path, bias_path, sca, READS, frame_time=DT
+    )
+    mask_path = f"{d}/roman_wfi_mask_PROD_SCA{sca:02d}.asdf"
+    makemask.make_mask_file(mask_path, sca, lin_path, dark_path,
+                            gain_file=gain_path, nside=N)
+
+    caldir = {
+        "dark": dark_path,
+        "read": dark_path.replace("_dark_", "_read_"),
+        "gain": gain_path,
+        "ipc4d": gain_path.replace("_gain_", "_ipc4d_"),
+        "linearitylegendre": lin_path,
+        "flat": pflat_path,
+        "saturation": sat_path,
+        "biascorr": bias_path,
+        "mask": mask_path,
+    }
+    return d, sca, caldir, dark_slope_true
+
+
+def test_convert_roundtrip(production):
+    d, sca, caldir, dark_slope_true = production
+    hdus = fits_lite.open_fits(f"{d}/99999999_SCA{sca:02d}_Noise_001.fits")
+    assert hdus[0].header["TGROUP"] == DT
+    cube = hdus[1].data
+    assert cube.shape == (1, 12, N, NAUG)
+    # slope HDU recovers the dark slope (DN/frame)
+    slp = hdus[2].data
+    resid = slp[0] - dark_slope_true * DT / DT * DT  # DN/frame
+    assert abs(np.median(resid)) < 1.0
+
+
+def test_dark_file_contents(production):
+    d, sca, caldir, dark_slope_true = production
+    f = asdf_lite.open(caldir["dark"])["roman"]
+    assert f["data"].shape == (5, N, N)
+    assert f["meta"]["reftype"] == "DARK"
+    # group-averaged dark matches bias + slope * tbar
+    t2 = DT * np.mean(READ_PATTERN[2])
+    expect = 12000 + 100 * np.cos(np.arange(N) / 17.0) + dark_slope_true[:, :N] * t2
+    resid = f["data"][2] - expect
+    assert np.abs(np.median(resid)) < 3.0
+    assert np.isclose(
+        np.median(f["dark_slope"]), np.median(dark_slope_true[:, :N]) / DT,
+        rtol=0.05,
+    )
+
+
+def test_read_file_contents(production):
+    d, sca, caldir, _ = production
+    f = asdf_lite.open(caldir["read"])["roman"]
+    assert np.allclose(f["data"], 8.5 / np.sqrt(2), atol=1e-4)
+    assert np.allclose(f["resetnoise"], 27.0)
+    assert f["anc"]["C_PINK"] == pytest.approx(0.8)
+    assert f["amp33"]["valid"] is True
+    assert f["amp33"]["M_PINK"] == pytest.approx(0.8)
+
+
+def test_gain_and_ipc_files(production):
+    d, sca, caldir, _ = production
+    g = asdf_lite.open(caldir["gain"])["roman"]
+    assert g["data"].shape == (N, N)
+    inner = g["data"][NB:-NB, NB:-NB]
+    assert 1.45 < np.median(inner) < 1.65
+    # bad superpixel (3,3) flagged NO_GAIN_VALUE
+    assert (g["dq"] == 2**19).sum() > 0
+
+    k = asdf_lite.open(caldir["ipc4d"])["roman"]["data"]
+    assert k.shape == (3, 3, N - 8, N - 8)
+    s = k.sum(axis=(0, 1))
+    assert np.allclose(s, 1.0, atol=1e-5)
+    assert np.allclose(k[1, 0, 50, 50], 0.013, atol=1e-5)
+    # edge zeroing: bottom row has no downward coupling
+    assert np.all(k[0, :, 0, :] == 0)
+
+
+def test_pflat_saturation_biascorr(production):
+    d, sca, caldir, _ = production
+    p = asdf_lite.open(caldir["flat"])["roman"]
+    inner = p["data"][NB:-NB, NB:-NB]
+    assert 0.5 < np.median(inner) < 1.5
+    s = asdf_lite.open(caldir["saturation"])["roman"]
+    lin = asdf_lite.open(caldir["linearitylegendre"])["roman"]
+    assert np.allclose(
+        s["data"], np.clip(lin["Smax"], 1, 65535) - 1, atol=1e-3
+    )
+    b = asdf_lite.open(caldir["biascorr"])["roman"]
+    assert b["data"].shape == (5, N - 8, N - 8)
+    assert b["t0"] == pytest.approx(DT * 1.5)
+    # observed dark = bias + slope*t; the forward model is anchored at
+    # Sref (= 0 DN_lin), so biascorr ~ bias - Sref
+    expect = np.median(12000 - lin["Sref"][NB:-NB, NB:-NB])
+    assert abs(np.median(b["data"]) - expect) < 300
+
+
+def test_mask_file(production):
+    d, sca, caldir, dark_slope_true = production
+    m = asdf_lite.open(caldir["mask"])["roman"]["dq"]
+    assert np.all(m[:4, :] & 2**31)
+    # hot/warm from the dark slope
+    hot = dark_slope_true[:, :N] / DT > 12.5
+    if hot.any():
+        assert np.all(m[hot] & 2**11)
+
+
+def test_swconfig_emitters(tmp_path):
+    txt, summary = swconfig.solid_waffle_config("/data", 7, 1, 10)
+    assert "DETECTOR: SCA07" in txt
+    assert "99999999_SCA07_Flat_010.fits" in txt
+    assert "NBIN: 32 32" in txt
+    assert summary.endswith("sw-SCA07-E001_summary.txt")
+    import json
+
+    cfg = json.loads(swconfig.linearity_config("/data", 7, "TAG"))
+    assert cfg["SCA"] == 7
+    assert cfg["P_ORDER"] == 10
+    assert cfg["BIAS"]["SLICE"] == 1
+    assert len(cfg["RAMPS"]) == 3
+
+
+def test_produced_caldir_calibrates(production, tmp_path):
+    """The full production loop closes: sim an exposure against the
+    produced CALDIR and calibrate it back."""
+    d, sca, caldir, _ = production
+    from romanimpreprocess_tpu.pipeline import l1_to_l2, sim_to_l1
+    from romanimpreprocess_tpu.synth import make_scene_file
+
+    scene = make_scene_file(
+        str(tmp_path / f"truth_F184_9_{sca}.fits"), nside_active=N - 8,
+        nstars=4,
+    )
+    c1 = {"IN": scene, "OUT": str(tmp_path / "L1.asdf"), "READS": READS,
+          "CALDIR": caldir, "SEED": 3}
+    sim_to_l1.run_config(c1)
+    c2 = {"IN": str(tmp_path / "L1.asdf"), "OUT": str(tmp_path / "L2.asdf"),
+          "FITSWCS": str(tmp_path / "L1_asdf_wcshead.txt"),
+          "CALDIR": caldir, "SKYORDER": 2}
+    l1_to_l2.calibrateimage(c2)
+    r = asdf_lite.open(str(tmp_path / "L2.asdf"))["roman"]
+    good = r["dq"] == 0
+    assert good.mean() > 0.5
+    data = np.asarray(r["data"])
+    assert np.isfinite(data[good]).all()
+    # slope units sane: sky-subtracted background ~ 0
+    assert abs(np.median(data[good])) < 1.0
