@@ -1,0 +1,183 @@
+"""Batch orchestration: process many exposures / the whole focal plane.
+
+Equivalent of the reference's production driver
+(``runs/summer2025run/OpenUniverse_to_L1L2.py:1-169``), which runs one
+Slurm array task per SCA and loops exposures serially.  Same CLI
+surface (``--key=value`` flags, FileLock'd directory creation, per-SCA
+seed spacing ``seed += dseed * nsca``), plus a TPU-native difference:
+instead of one process per SCA, a single process can sweep all 18 SCAs
+of each exposure and the device pipeline is shared across them (and can
+be sharded over a multi-chip mesh via :mod:`..parallel`).
+
+Usage::
+
+    python -m romanimpreprocess_tpu.pipeline.batch \
+        --in=IN_DIR --out=OUT_DIR --cal=CAL_DIR --tag=TAG \
+        [--sca=N | --sca=all] [--seed=500] [--dseed=10] [--nmax=999] \
+        [--reads=0,1,1,2,...] [--layers=Rz4PbrS2C1,...]
+"""
+
+import os
+import re
+import sys
+
+import jax
+
+from ..ops.mask import PixelMask1
+from . import l1_to_l2, noise, sim_to_l1
+
+NSCA = 18
+
+DEFAULT_READS = [0, 1, 1, 2, 2, 4, 4, 10, 10, 26, 26, 32, 32, 34, 34, 35]
+DEFAULT_LAYERS = [
+    "Rz4PbrS2C1", "Rz4PbrS2C2", "Rz4PbrS2C3", "Rz4PbrS2C4",
+    "Rz4OS2C5", "Rz4OS2C6", "Rz4OS2C7", "Rz4OS2C8",
+]
+
+L1_CTYPES = ["linearitylegendre", "gain", "dark", "read", "ipc4d", "flat",
+             "biascorr"]
+L2_CTYPES = L1_CTYPES + ["saturation", "mask"]
+
+
+def getval(argv, key, default=None):
+    """--key=value flag lookup (reference ``OpenUniverse_to_L1L2.py:15-20``)."""
+    prefix = f"--{key}="
+    for a in argv:
+        if a.startswith(prefix):
+            return a[len(prefix):]
+    return default
+
+
+def findcal(cal_dir, tag, ctype, sca):
+    """Calibration file locator (``findcal``, reference :64-70)."""
+    ctype_ = "pflat" if ctype == "flat" else ctype
+    return f"{cal_dir}/roman_wfi_{ctype_}_{tag}_SCA{sca:02d}.asdf"
+
+
+def scan_inputs(input_dir, use_scas):
+    """Scan the input dir for ``*_<band>_<obsid>_<sca>.fits`` truth files."""
+    out = []
+    for infile in sorted(os.listdir(input_dir)):
+        if not infile.lower().endswith(".fits"):
+            continue
+        m = re.match(r".*_([A-Za-z0-9]+)_(\d+)_(\d+)\.fits$", infile)
+        if not m:
+            continue
+        band, obsid, sca = m.group(1), int(m.group(2)), int(m.group(3))
+        if sca not in use_scas:
+            continue
+        out.append((os.path.join(input_dir, infile), band, obsid, sca))
+    return out
+
+
+def build_configs(infile, band, obsid, sca, *, output_dir, cal_dir, tag,
+                  seed, temp_dir, reads=None, layers=None):
+    """(L1 config, L2+noise config) for one exposure/SCA."""
+    reads = reads or DEFAULT_READS
+    layers = layers if layers is not None else DEFAULT_LAYERS
+    stem = f"{band}_{obsid}_{sca}"
+    c1 = {
+        "IN": infile,
+        "OUT": f"{output_dir}/L1/sim_L1_{stem}.asdf",
+        "READS": list(reads),
+        "FITSOUT": False,
+        "CALDIR": {c: findcal(cal_dir, tag, c, sca) for c in L1_CTYPES},
+        "CNORM": 1.0,
+        "SEED": seed,
+    }
+    c2 = {
+        "IN": c1["OUT"],
+        "OUT": f"{output_dir}/L2/sim_L2_{stem}.asdf",
+        "FITSWCS": f"{output_dir}/L1/sim_L1_{stem}_asdf_wcshead.txt",
+        "CALDIR": {c: findcal(cal_dir, tag, c, sca) for c in L2_CTYPES},
+        "RAMP_OPT_PARS": {"slope": 0.4, "gain": 1.8, "sigma_read": 7.0},
+        "JUMP_DETECT_PARS": {
+            "SthreshA": 5.5, "SthreshB": 4.5, "IthreshA": 0.6,
+            "IthreshB": 600.0,
+        },
+        "SKYORDER": 2,
+        "FITSOUT": False,
+    }
+    if layers:
+        c2["NOISE"] = {
+            "LAYER": list(layers),
+            "TEMP": f"{temp_dir}/temp_{stem}.asdf",
+            "SEED": seed + 1,
+            "OUT": f"{output_dir}/L2/sim_L2_{stem}_noise.asdf",
+        }
+    return c1, c2
+
+
+def process_exposure(c1, c2, write_mask=True):
+    """sim -> L1 -> L2 (-> noise -> mask) for one exposure/SCA."""
+    sim_to_l1.run_config(c1)
+    l1_to_l2.calibrateimage(c2 | {"SLICEOUT": True})
+    if "NOISE" in c2:
+        noise.generate_all_noise(c2)
+    if write_mask:
+        PixelMask1.convert_file(c2["OUT"], c2["OUT"][:-5] + "_mask.fits")
+
+
+def run(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    input_dir = getval(argv, "in")
+    output_dir = getval(argv, "out", ".")
+    cal_dir = getval(argv, "cal")
+    tag = getval(argv, "tag")
+    seed = int(getval(argv, "seed", "500"))
+    dseed = int(getval(argv, "dseed", "10"))
+    temp_dir = os.getenv("TMPDIR", output_dir + "/L2")
+    sca_arg = getval(argv, "sca", "1")
+    nmax = int(getval(argv, "nmax", "999"))
+    reads_arg = getval(argv, "reads")
+    layers_arg = getval(argv, "layers")
+    reads = (
+        [int(x) for x in reads_arg.split(",")] if reads_arg else None
+    )
+    layers = (
+        layers_arg.split(",") if layers_arg is not None else None
+    )
+    if layers == [""]:
+        layers = []
+
+    use_scas = (
+        list(range(1, NSCA + 1)) if sca_arg == "all" else [int(sca_arg)]
+    )
+
+    # FileLock'd directory creation (many tasks may race on a shared FS)
+    try:
+        from filelock import FileLock
+
+        lock = FileLock(os.path.join(output_dir, "ou.lock"))
+    except ImportError:  # pragma: no cover
+        import contextlib
+
+        lock = contextlib.nullcontext()
+    with lock:
+        for sub in ("L1", "L2"):
+            os.makedirs(os.path.join(output_dir, sub), exist_ok=True)
+        os.makedirs(temp_dir, exist_ok=True)
+
+    inputs = scan_inputs(input_dir, use_scas)[:nmax]
+    print(f"{len(inputs)} exposures on {jax.devices()[0]}")
+
+    jobs = []
+    for infile, band, obsid, sca in inputs:
+        # per-SCA seed spacing, as in the reference (:49,:107,:141)
+        s = seed + dseed * sca
+        c1, c2 = build_configs(
+            infile, band, obsid, sca, output_dir=output_dir,
+            cal_dir=cal_dir, tag=tag, seed=s, temp_dir=temp_dir,
+            reads=reads, layers=layers,
+        )
+        jobs.append((c1, c2))
+        seed += dseed * NSCA
+
+    for c1, c2 in jobs:
+        print("Processing", c1["IN"])
+        sys.stdout.flush()
+        process_exposure(c1, c2)
+
+
+if __name__ == "__main__":
+    run()

@@ -1,0 +1,213 @@
+"""Focal-plane mosaic plots of calibration-file quantities.
+
+Equivalent of the reference's ``utils/fpaplot.py:31-372``: reads a
+quantity (gain, IPC alphas, linearity coefficients, normalized p-flat,
+read noise) from each SCA's calibration file, bins and masks it, and
+composites the 18 SCAs at their physical focal-plane positions into an
+RGB image with a color bar; ``multi_image`` tiles the standard 8-panel
+QA sheet.  Text is rendered with PIL's built-in bitmap font (the
+reference ships its own ``letters.dat`` bitmap table).
+"""
+
+import os
+import sys
+
+import numpy as np
+
+from ..io import asdf_lite
+
+#: Focal-plane SCA center positions in units of pixels (0.01 mm),
+#: WFI01..WFI18 (instrument geometry; same table as the reference).
+nside_base = 4096
+ctrs = np.array(
+    [
+        [2214, 1215], [2229, -3703], [2244, -8206],
+        [6642, 2090], [6692, -2828], [6742, -7306],
+        [11070, 4220], [11148, -698], [11264, -5106],
+        [-2214, 1215], [-2229, -3703], [-2244, -8206],
+        [-6642, 2090], [-6692, -2828], [-6742, -7306],
+        [-11070, 4220], [-11148, -698], [-11264, -5106],
+    ],
+    dtype=np.int64,
+)
+bbox = {"xmin": -13312, "xmax": 13312, "ymin": -10254, "ymax": 6268}
+
+#: quantity -> (cal file type, leading index into the data array)
+PTYPE = {
+    "gain": ("gain", None),
+    "alphaH": ("ipc4d", (1, 0)),
+    "alphaV": ("ipc4d", (0, 1)),
+    "alphaD": ("ipc4d", (0, 0)),
+    "lin2": ("linearitylegendre", (2,)),
+    "lin3": ("linearitylegendre", (3,)),
+    "pflatnorm": ("pflat", None),
+    "read": ("read", None),
+}
+
+LABELS = {
+    "gain": "gain (e/DN)",
+    "alphaH": "IPC_h",
+    "alphaV": "IPC_v",
+    "alphaD": "IPC_d",
+    "lin2": "c2 (DN)",
+    "lin3": "c3 (DN)",
+    "pflatnorm": "pflatnorm",
+    "read": "rn (DN)",
+}
+
+
+def read_sca_image(infile_format, n1, ptype, scanum, mask=None):
+    """(n1, n1) masked, bin-averaged image of one quantity on one SCA.
+
+    ``infile_format.format(filetype, scanum)`` locates the file; absent
+    files return zeros (so partial focal planes still plot).
+    """
+    ftype, lead = PTYPE[ptype]
+    path = infile_format.format(ftype, scanum)
+    if not os.path.exists(path):
+        return np.zeros((n1, n1))
+    obj = np.asarray(asdf_lite.open(path)["roman"]["data"])
+    if lead is not None:
+        for i in lead:
+            obj = obj[i]
+    obj = obj.astype(np.float64)
+
+    if mask is not None:
+        mpath = infile_format.format("mask", scanum)
+        if os.path.exists(mpath):
+            import jax.numpy as jnp
+
+            dq = asdf_lite.open(mpath)["roman"]["dq"]
+            m = np.asarray(mask.build(jnp.asarray(dq)))
+            # active-region arrays (e.g. the IPC kernel) are narrower
+            # than the full-frame mask: pad to match before masking
+            pad = (m.shape[0] - obj.shape[0]) // 2
+            if pad > 0:
+                obj = np.pad(obj, pad)
+            obj = np.where(~m, obj, np.nan)
+
+    # pad to the nearest multiple of n1 (full frame, or the reduced
+    # geometry of small synthetic cal sets), then bin-average to (n1, n1)
+    base = ((max(obj.shape[0], n1) + n1 - 1) // n1) * n1
+    pad = (base - obj.shape[0]) // 2
+    if pad > 0 or obj.shape[0] < base:
+        obj = np.pad(
+            obj, ((pad, base - obj.shape[0] - pad),) * 2,
+            constant_values=np.nan,
+        )
+    k = base // n1
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        return np.nanmean(obj.reshape(n1, k, n1, k), axis=(1, 3))
+
+
+def write_text(image, origin, size, val, string):
+    """Write text into a 2-D uint8 image plane using PIL's bitmap font."""
+    from PIL import Image, ImageDraw, ImageFont
+
+    h, w = 12 * size, 6 * size * max(len(string), 1)
+    txt = Image.new("L", (w, h), 0)
+    draw = ImageDraw.Draw(txt)
+    draw.text((0, 0), string, fill=255, font=ImageFont.load_default())
+    card = np.asarray(
+        txt.resize((w, h), Image.NEAREST), dtype=np.uint8
+    )
+    y0, x0 = origin
+    y1 = min(y0 + h, image.shape[-2])
+    x1 = min(x0 + w, image.shape[-1])
+    if y1 <= y0 or x1 <= x0:
+        return
+    sub = card[: y1 - y0, : x1 - x0]
+    image[y0:y1, x0:x1] = np.where(sub > 0, val, image[y0:y1, x0:x1])
+
+
+def make_big_image(infile_format, n1, ptype, vmin=0.0, vmax=1.0, mask=None,
+                   cmap="viridis", scaleformat=None):
+    """RGB uint8 mosaic of the full 18-SCA focal plane for one quantity."""
+    import matplotlib
+
+    scale = nside_base // n1
+    nx = (bbox["xmax"] - bbox["xmin"] + 1) // scale
+    ny = (bbox["ymax"] - bbox["ymin"] + 1) // scale
+    arr = np.full((ny, nx, 3), 255, dtype=np.uint8)
+    cm = matplotlib.colormaps[cmap]
+
+    for scanum in range(1, 19):
+        img = read_sca_image(infile_format, n1, ptype, scanum, mask=mask)
+        if ptype == "pflatnorm":
+            img = img / (np.nanmedian(img) + 1e-24)
+        img = np.nan_to_num(img, nan=0.0)
+        img = np.clip((img - vmin) / (vmax - vmin), 0.0, 1.0)
+        posx = (ctrs[scanum - 1, 0] - nside_base // 2 - bbox["xmin"]) // scale
+        posy = (ctrs[scanum - 1, 1] - nside_base // 2 - bbox["ymin"]) // scale
+        arr[posy : posy + n1, posx : posx + n1, :] = cm(img, bytes=True)[:, :, :3]
+
+    if scaleformat is not None:
+        arr[-(n1 // 8):, nx // 2 - n1 : nx // 2 + n1, :] = cm(
+            np.linspace(0, 1, 2 * n1), bytes=True
+        )[None, :, :3]
+        sc = max(n1, 64) // 64
+        posy = ny - n1 // 8 - 15 * sc
+        for j in range(3):
+            arr[-(n1 // 8) - 2 * sc : -(n1 // 8),
+                nx // 2 - n1 + j * n1 : nx // 2 - n1 + j * n1 + sc, :] = 0
+            txt = scaleformat.format(j / 2.0 * (vmax - vmin) + vmin)
+            posx = max(0, nx // 2 - n1 + n1 * j - 3 * sc * len(txt))
+            for ch in range(3):
+                write_text(arr[:, :, ch], (posy, posx), sc, 0, txt)
+        label = LABELS[ptype]
+        posx = max(0, nx // 2 - 3 * sc * len(label))
+        posy = ny - n1 // 8 - 27 * sc
+        for ch in range(3):
+            write_text(arr[:, :, ch], (posy, posx), sc, 0, label)
+
+    return arr
+
+
+def multi_image(infile_format, n1, masktype):
+    """Standard 8-panel QA sheet: lin2/lin3, gain, alphaD/H/V,
+    pflatnorm, read noise (reference ``multi_image:278-358``)."""
+    panels = [
+        ("lin2", -100.0, 2900.0, "{:4.0f}"),
+        ("lin3", -100.0, 1500.0, "{:4.0f}"),
+        ("gain", 1.2, 2.1, "{:4.2f}"),
+        ("alphaD", 0.0, 0.004, "{:5.3f}"),
+        ("alphaH", 0.005, 0.025, "{:5.3f}"),
+        ("alphaV", 0.005, 0.025, "{:5.3f}"),
+        ("pflatnorm", 0.8, 1.2, "{:4.2f}"),
+        ("read", 4.0, 9.0, "{:4.1f}"),
+    ]
+    images = [
+        make_big_image(infile_format, n1, p, vmin=lo, vmax=hi,
+                       scaleformat=fmt, mask=masktype)
+        for p, lo, hi, fmt in panels
+    ]
+    ny, nx, nc = images[0].shape
+    nw = 2
+    nh = (len(images) - 1) // nw + 1
+    gap = 1 + n1 // 4
+    arr = np.full(
+        (ny * nh + gap * (nh - 1), nx * nw + gap * (nw - 1), nc), 255,
+        dtype=np.uint8,
+    )
+    for i, img in enumerate(images):
+        posx = (i % nw) * (nx + gap)
+        posy = (i // nw) * (ny + gap)
+        arr[posy : posy + ny, posx : posx + nx, :] = img
+    return arr
+
+
+def main(argv=None):
+    from PIL import Image
+
+    from ..ops.mask import PixelMask1
+
+    argv = sys.argv[1:] if argv is None else argv
+    arr = multi_image(argv[0], 128, PixelMask1)
+    Image.fromarray(arr[::-1, :, :]).save(argv[1])
+
+
+if __name__ == "__main__":
+    main()

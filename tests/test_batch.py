@@ -1,0 +1,59 @@
+"""Batch-driver test: directory scan, seed spacing, full per-exposure chain."""
+
+import os
+
+import numpy as np
+
+from romanimpreprocess_tpu.io import asdf_lite
+from romanimpreprocess_tpu.pipeline import batch
+from romanimpreprocess_tpu.synth import make_cal_files, make_scene_file
+
+READ_PATTERN = [[0], [1, 2], [3, 4, 5], [6, 7, 8], [9, 10]]
+READS = "0,1,1,3,3,6,6,9,9,11"
+N = 128
+NA = N - 8
+
+
+def test_batch_run(tmp_path):
+    d = str(tmp_path)
+    os.makedirs(d + "/IN")
+    make_scene_file(d + "/IN/Roman_Test_truth_F184_163_4.fits",
+                    nside_active=NA, nstars=3)
+    make_scene_file(d + "/IN/Roman_Test_truth_F184_164_4.fits",
+                    nside_active=NA, nstars=3)
+    make_scene_file(d + "/IN/Roman_Test_truth_F184_163_5.fits",
+                    nside_active=NA, nstars=3)  # different SCA: skipped
+    os.makedirs(d + "/CAL")
+    make_cal_files(d + "/CAL/roman_wfi", READ_PATTERN, nside=N, seed=5,
+                   tag="T", sca=4)
+    os.makedirs(d + "/OUT", exist_ok=True)
+
+    batch.run(
+        [
+            f"--in={d}/IN", f"--out={d}/OUT", f"--cal={d}/CAL", "--tag=T",
+            "--sca=4", f"--reads={READS}", "--layers=Rz2S2C1", "--nmax=2",
+        ]
+    )
+
+    for obsid in (163, 164):
+        l2 = asdf_lite.open(d + f"/OUT/L2/sim_L2_F184_{obsid}_4.asdf")
+        assert np.asarray(l2["roman"]["data"]).shape == (NA, NA)
+        nz = asdf_lite.open(d + f"/OUT/L2/sim_L2_F184_{obsid}_4_noise.asdf")
+        assert np.asarray(nz["noise"]).shape == (1, NA, NA)
+        assert os.path.exists(d + f"/OUT/L2/sim_L2_F184_{obsid}_4_mask.fits")
+    # SCA 5 not processed
+    assert not os.path.exists(d + "/OUT/L2/sim_L2_F184_163_5.asdf")
+
+    # seed spacing: the two exposures used different seeds -> different L1s
+    a = asdf_lite.open(d + "/OUT/L1/sim_L1_F184_163_4.asdf")["roman"]["data"]
+    b = asdf_lite.open(d + "/OUT/L1/sim_L1_F184_164_4.asdf")["roman"]["data"]
+    assert not np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_getval_and_findcal():
+    argv = ["--in=/x", "--seed=77"]
+    assert batch.getval(argv, "in") == "/x"
+    assert batch.getval(argv, "seed") == "77"
+    assert batch.getval(argv, "missing", "dflt") == "dflt"
+    p = batch.findcal("/cal", "TAG", "flat", 7)
+    assert p == "/cal/roman_wfi_pflat_TAG_SCA07.asdf"
