@@ -78,7 +78,11 @@ def correct_cube(data, kernel, gain=None, order=2, nborder=None):
     na = kernel.shape[-1]
     nb = (ny - na) // 2 if nborder is None else nborder
     active = data[:, nb : ny - nb, nb : ny - nb]
-    corr = jax.vmap(lambda im: ipc_rev(im, kernel, order=order, gain=gain))(active)
+    # the group axis rides along as a leading batch dim of the stencil:
+    # each of the 9 kernel planes is read once per Neumann application
+    # for ALL groups (a vmap per group would re-read the 4088^2 kernel
+    # planes per group — 6x the HBM traffic of this formulation)
+    corr = ipc_rev(active, kernel, order=order, gain=gain)
     if nb == 0:
         return corr
     return data.at[:, nb : ny - nb, nb : ny - nb].set(corr)

@@ -31,7 +31,7 @@ from ..config import load_config
 from ..dqflags import group as gdq
 from ..dqflags import pixel
 from ..io import asdf_lite, calfiles, fits_lite
-from ..ops import ipc, linearity, mask, ramp, refsub, saturation, sky, wcsutils
+from ..ops import ipc, likely, linearity, mask, ramp, refsub, saturation, sky, wcsutils
 from ..utils.processlog import ProcessLog
 from .. import __version__
 
@@ -178,10 +178,17 @@ def make_core(plan, cfg, geom):
             )
 
         # ---- ramp fit + jump detection ----
-        slope, ser, sep, rdq, pdq = ramp.ramp_fit(
-            data, rdq, pdq, plan, arr["gain"], arr["read_sigma"],
-            nborder=nborder,
-        )
+        dumo = chisq = None
+        if cfg["likelihood_fit"]:
+            (slope, ser, sep, rdq, pdq, dumo, chisq) = likely.ramp_fit_likely(
+                data, rdq, pdq, plan, arr["gain"], arr["read_sigma"],
+                nborder=nborder,
+            )
+        else:
+            slope, ser, sep, rdq, pdq = ramp.ramp_fit(
+                data, rdq, pdq, plan, arr["gain"], arr["read_sigma"],
+                nborder=nborder,
+            )
 
         # ---- dark current subtraction (IPC-corrected dark slope) ----
         dslope = arr["dark_slope"]
@@ -246,7 +253,7 @@ def make_core(plan, cfg, geom):
             firstsat < ngrp, firstsat - 1, -1
         ).astype(jnp.int8)
 
-        return {
+        out = {
             "slope": slope,
             "slope_withsky": slope_withsky,
             "slope_err_read": ser,
@@ -258,6 +265,11 @@ def make_core(plan, cfg, geom):
             "skycoefs": skycoefs,
             "endslice": endslice,
         }
+        if dumo is not None:
+            # dumo is slope-like -> flat-field it (gen_cal_image.py:671)
+            out["dumo"] = dumo / flat
+            out["chisq"] = chisq
+        return out
 
     return jax.jit(core)
 
@@ -273,8 +285,10 @@ def _get_core(plan, cfg, geom):
     key = (
         tuple(sorted((k, v) for k, v in cfg.items())),
         geom,
+        type(plan).__name__,
         plan.ngrp, plan.start, plan.m_of_variant, plan.pairs,
-        plan.sthresh_a, plan.sthresh_b, plan.ithresh_a, plan.ithresh_b,
+        getattr(plan, "sthresh_a", None), getattr(plan, "sthresh_b", None),
+        getattr(plan, "rejection_threshold", None),
         float(plan.W.sum()),  # distinguishes MA tables / u values
     )
     if key not in _CORE_CACHE:
@@ -370,11 +384,21 @@ def calibrate_tree(l1, config, pack, area_factor=None, verbose=False):
         "RAMP_OPT_PARS", {"slope": 0.4, "gain": 1.8, "sigma_read": 6.5}
     )
     u_ = float(uopt["slope"]) / float(uopt["gain"]) / float(uopt["sigma_read"]) ** 2
-    plan = ramp.build_plan(
-        meta, u_, exclude_first, config.get("JUMP_DETECT_PARS")
-    )
-    mylog.append(f"\n\nRamp fit optimized for u = {u_:11.5E} s**-1\n")
-    mylog.append("weights = {}\n".format(plan.W[-1]))
+    likelihood_fit = bool(config.get("romancal_ramp_fit", False))
+    if likelihood_fit:
+        plan = likely.build_likely_plan(
+            meta, exclude_first,
+            rejection_threshold=float(config.get("REJECTION_THRESHOLD", 4.5)),
+        )
+        mylog.append("likelihood (adaptive-weight) ramp fit\n")
+        weights_out = plan.W[plan.nu // 2, -1]
+    else:
+        plan = ramp.build_plan(
+            meta, u_, exclude_first, config.get("JUMP_DETECT_PARS")
+        )
+        mylog.append(f"\n\nRamp fit optimized for u = {u_:11.5E} s**-1\n")
+        mylog.append("weights = {}\n".format(plan.W[-1]))
+        weights_out = plan.W[-1]
 
     # ---- static config + array bundle ----
     use_amp33 = pack.amp33_valid and "amp33" in l1
@@ -398,6 +422,7 @@ def calibrate_tree(l1, config, pack, area_factor=None, verbose=False):
         exclude_first=exclude_first,
         backup=backup,
         use_amp33=bool(use_amp33),
+        likelihood_fit=likelihood_fit,
         has_biascorr="biascorr" in caldir,
         has_dark_decay=has_dark_decay,
         wfi18=wfi18,
@@ -520,6 +545,9 @@ def calibrate_tree(l1, config, pack, area_factor=None, verbose=False):
     }
     if im2["amp33"] is None:
         del im2["amp33"]
+    if "dumo" in out:
+        im2["dumo"] = np.asarray(out["dumo"][act, act], np.float16)
+        im2["chisq"] = np.asarray(out["chisq"][act, act], np.float16)
 
     processinfo = {
         "medsky": float(out["medsky"]),
@@ -536,7 +564,7 @@ def calibrate_tree(l1, config, pack, area_factor=None, verbose=False):
             "read_pattern": read_pattern,
             "nborder": nborder,
         },
-        "weights": plan.W[-1],
+        "weights": weights_out,
         "config": _jsonable(config),
         "log": mylog.output,
         "exclude_first": exclude_first,

@@ -1,0 +1,129 @@
+"""Adaptive (likelihood-style) ramp fitter tests.
+
+Mirrors the reference's cross-fitter consistency gates
+(``test_workflow.py:684-705``): on common good pixels the two fitters
+report similar uncertainties, agree well within them, and flag a
+comparable number of cosmic rays.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from romanimpreprocess_tpu.dqflags import pixel
+from romanimpreprocess_tpu.ops import likely, ramp
+
+READ_PATTERN = [[0], [1, 2], [3, 4, 5], [6, 7, 8, 9, 10], [11, 12], [13]]
+DT = 3.04
+
+
+def _make_case(seed=0, ny=64, nx=64):
+    rng = np.random.RandomState(seed)
+    meta = ramp.ma_table_meta(READ_PATTERN, DT)
+    ngrp = meta["ngrp"]
+    gain = rng.uniform(1.4, 1.6, (ny, nx)).astype(np.float32)
+    read_sigma = rng.uniform(5, 8, (ny, nx)).astype(np.float32)
+    rate = 10.0 ** rng.uniform(-1, 2.3, (ny, nx)).astype(np.float32)
+    data = rate[None] * meta["tbar"][:, None, None].astype(np.float32)
+    # Poisson + read noise
+    data += rng.normal(0, 6, data.shape) / np.sqrt(meta["N"])[:, None, None]
+    data += rng.normal(0, np.sqrt(np.maximum(rate[None] * meta["tbar"][:, None, None] / 1.5, 0)))
+    njump = 40
+    jy, jx = rng.randint(4, ny - 4, njump), rng.randint(4, nx - 4, njump)
+    jg = rng.randint(2, ngrp, njump)
+    for y, x, g in zip(jy, jx, jg):
+        data[g:, y, x] += 4000.0
+    rdq = np.zeros((ngrp, ny, nx), np.uint32)
+    rdq[0] |= 1  # exclude_first DNU
+    pdq = np.zeros((ny, nx), np.uint32)
+    return meta, data.astype(np.float32), rdq, pdq, gain, read_sigma, rate, set(zip(jy, jx))
+
+
+def test_likely_fit_agrees_with_casertano():
+    meta, data, rdq, pdq, gain, read_sigma, rate, jumps = _make_case()
+    u = 0.4 / 1.8 / 6.5**2
+    plan_c = ramp.build_plan(meta, u, True, None)
+    plan_l = likely.build_likely_plan(meta, True, rejection_threshold=5.0)
+
+    s_c, ser_c, sep_c, rdq_c, pdq_c = ramp.ramp_fit(
+        jnp.array(data), jnp.array(rdq), jnp.array(pdq), plan_c,
+        jnp.array(gain), jnp.array(read_sigma), nborder=1,
+    )
+    out = likely.ramp_fit_likely(
+        jnp.array(data), jnp.array(rdq), jnp.array(pdq), plan_l,
+        jnp.array(gain), jnp.array(read_sigma), nborder=1,
+    )
+    s_l, ser_l, sep_l, rdq_l, pdq_l, dumo, chisq = out
+
+    good = (np.array(pdq_c) == 0) & (np.array(pdq_l) == 0)
+    err_c = np.hypot(np.array(ser_c), np.array(sep_c))
+    err_l = np.hypot(np.array(ser_l), np.array(sep_l))
+
+    # uncertainties comparable (reference gate: ratio within 5%; the
+    # adaptive weights are slightly tighter at high flux, allow 15%)
+    ratio = np.median(err_l[good]) / np.median(err_c[good])
+    assert 0.8 < ratio < 1.15, ratio
+
+    # fits agree well within the reported error
+    z = (np.array(s_l) - np.array(s_c))[good] / err_c[good]
+    assert np.median(np.abs(z)) < 0.2, np.median(np.abs(z))
+
+    # jump counts comparable
+    j_c = ((np.array(pdq_c) & pixel.JUMP_DET) != 0).sum()
+    j_l = ((np.array(pdq_l) & pixel.JUMP_DET) != 0).sum()
+    assert j_l > 0.3 * len(jumps)
+    assert j_l < 4 * max(j_c, len(jumps))
+
+    # diagnostics sane
+    assert np.isfinite(np.array(dumo)[good]).all()
+    assert np.isfinite(np.array(chisq)[good]).all()
+    assert np.median(np.array(chisq)[good]) < 10.0
+    # dumo is slope-like
+    dz = (np.array(dumo) - rate)[good] / np.maximum(err_c[good] * 3, 1.0)
+    assert np.median(np.abs(dz)) < 3.0
+
+
+def test_likely_adaptive_weights_beat_fixed_at_high_flux():
+    """At high flux the adaptive weights should not be WORSE than the
+    fixed low-flux-optimized weights (statistical efficiency check)."""
+    rng = np.random.RandomState(7)
+    meta = ramp.ma_table_meta(READ_PATTERN, DT)
+    ngrp = meta["ngrp"]
+    ny = nx = 48
+    nmc = 24
+    rate = np.full((ny, nx), 400.0, np.float32)  # bright: Poisson-dominated
+    gain = np.full((ny, nx), 1.5, np.float32)
+    read_sigma = np.full((ny, nx), 6.0, np.float32)
+    u = 0.4 / 1.8 / 6.5**2  # optimized for faint pixels
+    plan_c = ramp.build_plan(meta, u, True, None)
+    plan_l = likely.build_likely_plan(meta, True, rejection_threshold=50.0)
+
+    res_c, res_l = [], []
+    nreads = READ_PATTERN[-1][-1] + 1
+    for k in range(nmc):
+        # correlated Poisson ramps: cumulative charge / gain
+        incs = rng.poisson(
+            rate * gain * DT, size=(nreads, ny, nx)
+        ).astype(np.float32)
+        incs[0] = 0
+        cum = np.cumsum(incs, axis=0) / gain
+        data = np.stack(
+            [cum[grp[0] : grp[-1] + 1].mean(axis=0) for grp in READ_PATTERN]
+        ).astype(np.float32)
+        data += rng.normal(0, 6, data.shape) / np.sqrt(meta["N"])[:, None, None]
+        rdq = np.zeros((ngrp, ny, nx), np.uint32)
+        rdq[0] |= 1
+        pdq = np.zeros((ny, nx), np.uint32)
+        s_c, *_ = ramp.ramp_fit(
+            jnp.array(data), jnp.array(rdq), jnp.array(pdq), plan_c,
+            jnp.array(gain), jnp.array(read_sigma), nborder=1,
+        )
+        s_l, *_ = likely.ramp_fit_likely(
+            jnp.array(data), jnp.array(rdq), jnp.array(pdq), plan_l,
+            jnp.array(gain), jnp.array(read_sigma), nborder=1,
+        )
+        res_c.append(np.array(s_c) - rate)
+        res_l.append(np.array(s_l) - rate)
+    std_c = np.std(np.stack(res_c), axis=0).mean()
+    std_l = np.std(np.stack(res_l), axis=0).mean()
+    # adaptive should be at least as good (allow 3% MC slack)
+    assert std_l < std_c * 1.03, (std_l, std_c)
