@@ -33,6 +33,7 @@ from ..dqflags import pixel
 from ..io import asdf_lite, calfiles, fits_lite
 from ..ops import ipc, likely, linearity, mask, ramp, refsub, saturation, sky, wcsutils
 from ..utils.processlog import ProcessLog
+from . import oututils
 from .. import __version__
 
 
@@ -503,25 +504,13 @@ def calibrate_tree(l1, config, pack, area_factor=None, verbose=False):
     l2meta = {
         "exposure": dict(l1meta["exposure"]),
         "instrument": dict(l1meta.get("instrument", {})),
-        "cal_step": {
-            "dq_init": "COMPLETE",
-            "saturation": "COMPLETE",
-            "refpix": "COMPLETE",
-            "linearity": "COMPLETE",
-            "dark": "COMPLETE",
-            "ramp_fit": "COMPLETE",
-            "flat_field": "COMPLETE",
-            "dark_decay": "COMPLETE" if has_dark_decay else "INCOMPLETE",
-            "wfi18_transient": (
-                "COMPLETE" if wfi18
-                else ("N/A" if config.get("correct_wfi18_transient", False)
-                      else "INCOMPLETE")
-            ),
-        },
-        "calibration_software_name": "romanimpreprocess_tpu.l1_to_l2",
-        "calibration_software_version": __version__,
+        "cal_step": oututils.cal_step_status(
+            has_dark_decay, wfi18,
+            config.get("correct_wfi18_transient", False),
+        ),
         "gain": medgain,
     }
+    oututils.add_in_provenance(l2meta)
 
     im2 = {
         "meta": l2meta,
@@ -532,19 +521,8 @@ def calibrate_tree(l1, config, pack, area_factor=None, verbose=False):
         "var_rnoise": np.asarray(ser[act, act] ** 2, np.float32),
         "var_flat": np.zeros((nside - 2 * nb, nside - 2 * nb), np.float16),
         "data_withsky": np.asarray(out["slope_withsky"][act, act], np.float32),
-        "amp33": np.asarray(l1["amp33"]) if "amp33" in l1 else None,
-        # border reference data from the L1 (oututils.add_in_ref_data)
-        "border_ref_pix_left": data[:, :, :nb].astype(np.float32),
-        "border_ref_pix_right": data[:, :, nside - nb:].astype(np.float32),
-        "border_ref_pix_top": data[:, nside - nb:, :].astype(np.float32),
-        "border_ref_pix_bottom": data[:, :nb, :].astype(np.float32),
-        "dq_border_ref_pix_left": np.asarray(pdq[:, :nb], np.uint32),
-        "dq_border_ref_pix_right": np.asarray(pdq[:, nside - nb:], np.uint32),
-        "dq_border_ref_pix_top": np.asarray(pdq[nside - nb:, :], np.uint32),
-        "dq_border_ref_pix_bottom": np.asarray(pdq[:nb, :], np.uint32),
     }
-    if im2["amp33"] is None:
-        del im2["amp33"]
+    oututils.add_in_ref_data(im2, l1, pdq, nside, nb)
     if "dumo" in out:
         im2["dumo"] = np.asarray(out["dumo"][act, act], np.float16)
         im2["chisq"] = np.asarray(out["chisq"][act, act], np.float16)
