@@ -1,0 +1,132 @@
+"""WFI18-transient and dark-decay correction tests.
+
+Mirrors the reference's checks (``test_workflow.py:707-735``): the
+WFI18 correction removes an injected first-read row transient; the
+dark-decay correction shifts the recovered sky level without
+introducing row structure.
+"""
+
+import numpy as np
+import pytest
+
+from romanimpreprocess_tpu.io import asdf_lite
+from romanimpreprocess_tpu.pipeline import l1_to_l2, sim_to_l1
+from romanimpreprocess_tpu.synth import make_cal_files, make_scene_file
+
+READ_PATTERN = [[0], [1, 2], [3, 4, 5], [6, 7, 8], [9, 10]]
+N = 128
+NA = N - 8
+
+
+@pytest.fixture(scope="module")
+def basedir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("corr"))
+    scene = make_scene_file(d + "/truth_F184_163_4.fits", nside_active=NA,
+                            nstars=3)
+    caldir = make_cal_files(d + "/roman_wfi", READ_PATTERN, nside=N, seed=5)
+    reads = []
+    for g in READ_PATTERN:
+        reads += [g[0], g[-1] + 1]
+    sim_to_l1.run_config(
+        {"IN": scene, "OUT": d + "/L1.asdf", "READS": reads,
+         "CALDIR": caldir, "SEED": 200}
+    )
+    return d, caldir
+
+
+def test_wfi18_transient_correction(basedir, tmp_path):
+    d, caldir = basedir
+    # copy the L1, relabel as WFI18, inject the first-read row transient
+    # (same toy model as reference test_workflow.py:538-546)
+    f = asdf_lite.open(d + "/L1.asdf")
+    tree = dict(f.tree)
+    tree["roman"] = dict(tree["roman"])
+    tree["roman"]["meta"] = dict(tree["roman"]["meta"])
+    tree["roman"]["meta"]["instrument"] = dict(
+        tree["roman"]["meta"]["instrument"], detector="WFI18"
+    )
+    data = np.asarray(tree["roman"]["data"]).copy()
+    rows = np.arange(4, N - 4, dtype=np.float64)
+    reff = rows + (rows // 256) * 4
+    prof = -60.0 * np.exp(-reff / 150.0) + 5.0 * np.exp(-reff / 1300.0)
+    newd = data[0, 4:-4, 4:-4].astype(np.float64) + prof[:, None]
+    data[0, 4:-4, 4:-4] = np.clip(np.round(newd), 0, 65535)
+    tree["roman"]["data"] = data
+    asdf_lite.AsdfFile(tree).write_to(str(tmp_path / "L1_18.asdf"))
+
+    base = {
+        "IN": str(tmp_path / "L1_18.asdf"),
+        "FITSWCS": d + "/L1_asdf_wcshead.txt", "CALDIR": caldir,
+        "SKYORDER": 2, "EXCLUDE_FIRST": False,
+    }
+    l1_to_l2.calibrateimage(
+        dict(base, OUT=str(tmp_path / "L2_no.asdf"))
+    )
+    l1_to_l2.calibrateimage(
+        dict(base, OUT=str(tmp_path / "L2_tr.asdf"),
+             correct_wfi18_transient=True)
+    )
+    a_no = asdf_lite.open(str(tmp_path / "L2_no.asdf"))["roman"]
+    a_tr = asdf_lite.open(str(tmp_path / "L2_tr.asdf"))["roman"]
+    assert a_tr["meta"]["cal_step"]["wfi18_transient"] == "COMPLETE"
+    assert a_no["meta"]["cal_step"]["wfi18_transient"] == "INCOMPLETE"
+
+    diff = np.asarray(a_tr["data"]) - np.asarray(a_no["data"])
+    # reference gates (test_workflow.py:716-724): the correction changes
+    # the result, but only within a small bounded envelope
+    assert np.percentile(diff, 80) - np.percentile(diff, 20) > 1e-4
+    assert np.percentile(diff, 10) > -0.05
+    assert np.percentile(diff, 90) < 0.05
+
+
+def test_wfi18_fitter_removes_profile():
+    """Unit test of the transient fitter itself: an injected
+    two-exponential row profile in read 0 is removed to a few percent."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(3)
+    ngrp, n = 4, 128
+    data = 1000.0 + rng.normal(0, 2.0, (ngrp, n, n)).astype(np.float32)
+    rows = np.arange(n, dtype=np.float64)
+    reff = rows + (rows // 256) * 4
+    prof = -60.0 * np.exp(-reff / 150.0) + 5.0 * np.exp(-reff / 1300.0)
+    data[0] += prof[:, None].astype(np.float32)
+    out = np.asarray(l1_to_l2._correct_wfi18(jnp.asarray(data), n, 4))
+    # the fitter removes the row-dependent (de-medianed) part of the
+    # transient; a constant first-read offset is invisible to the
+    # zero-sum ramp weights and is deliberately left alone
+    resid = np.median(out[0] - 1000.0, axis=1)
+    resid_var = resid - np.median(resid)
+    prof_var = prof - np.median(prof)
+    assert np.abs(resid_var).max() < 0.15 * np.abs(prof_var).max()
+    # other reads untouched
+    assert np.allclose(out[1:], data[1:])
+
+
+def test_dark_decay_correction(basedir, tmp_path):
+    d, caldir = basedir
+    base = {
+        "IN": d + "/L1.asdf", "FITSWCS": d + "/L1_asdf_wcshead.txt",
+        "CALDIR": caldir, "SKYORDER": 2,
+    }
+    l1_to_l2.calibrateimage(dict(base, OUT=str(tmp_path / "L2_orig.asdf")))
+    cal_dd = dict(caldir, dark_decay=caldir["_darkdecay_path"])
+    l1_to_l2.calibrateimage(
+        dict(base, OUT=str(tmp_path / "L2_dd.asdf"), CALDIR=cal_dd)
+    )
+    a0 = asdf_lite.open(str(tmp_path / "L2_orig.asdf"))
+    a1 = asdf_lite.open(str(tmp_path / "L2_dd.asdf"))
+    assert a1["roman"]["meta"]["cal_step"]["dark_decay"] == "COMPLETE"
+    assert a0["roman"]["meta"]["cal_step"]["dark_decay"] == "INCOMPLETE"
+    # sky-subtracted images nearly identical row-wise (reference gate:
+    # |median row diff| < 1e-4)
+    diff = np.asarray(a1["roman"]["data"]) - np.asarray(a0["roman"]["data"])
+    assert np.abs(np.median(diff, axis=1)).max() < 2e-3
+    # the decaying signal is negative-sloped; correcting it shifts the
+    # recovered sky level up (reference gate: 0.004 < d(coef0) < 0.007
+    # for its table; sign is the invariant here)
+    dc = np.asarray(a1["processinfo"]["skycoefs"]) - np.asarray(
+        a0["processinfo"]["skycoefs"]
+    )
+    assert dc[0] > 0, dc
+    assert np.all(np.abs(dc[1:]) < 0.01)
