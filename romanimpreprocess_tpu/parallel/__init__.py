@@ -54,6 +54,76 @@ def make_fpa_calibrator(plan, cfg, geom, mesh):
     return run
 
 
+def calibrate_fpa(configs, mesh=None, write=True, max_workers=8):
+    """Calibrate a batch of SCAs (one config each) across the mesh.
+
+    The focal-plane production path: per-SCA L1 trees and calibration
+    packs are loaded and prepared by a host thread pool, stacked along
+    a leading "sca" axis, sharded over the mesh, pushed through ONE
+    batched jitted core execution, then unpacked and written back in
+    parallel.  All configs must share the MA table and pipeline options
+    (the SCAs of one exposure do).
+
+    Returns the list of L2 trees (written to each config's OUT when
+    ``write``).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..io import asdf_lite, calfiles
+    from ..pipeline import l1_to_l2
+
+    if mesh is None:
+        mesh = sca_mesh()
+    n = len(configs)
+
+    def load_one(config):
+        pack = calfiles.load_caldir(config["CALDIR"])
+        l1 = asdf_lite.open(config["IN"])["roman"]
+        area = l1_to_l2.area_factor_from_config(config, pack.nside)
+        prep = l1_to_l2.prepare_inputs(l1, config, pack, area)
+        return l1, prep
+
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        loaded = list(pool.map(load_one, configs))
+
+    prep0 = loaded[0][1]
+    for _, prep in loaded[1:]:
+        if prep["cfg"] != prep0["cfg"] or prep["geom"] != prep0["geom"]:
+            raise ValueError(
+                "calibrate_fpa requires identical pipeline options and "
+                "geometry across SCAs"
+            )
+
+    batch = {
+        k: np.stack([prep["arr"][k] for _, prep in loaded])
+        for k in prep0["arr"]
+    }
+    # pad the batch to the mesh size so the shard is even
+    ndev = mesh.devices.size
+    npad = (-n) % ndev
+    if npad:
+        batch = {
+            k: np.concatenate([v] + [v[-1:]] * npad) for k, v in batch.items()
+        }
+    batch = shard_batch(mesh, batch)
+    run = make_fpa_calibrator(prep0["plan"], prep0["cfg"], prep0["geom"], mesh)
+    out_all = jax.device_get(run(batch))
+
+    trees = []
+    for i, (config, (l1, prep)) in enumerate(zip(configs, loaded)):
+        out_i = {k: v[i] for k, v in out_all.items()}
+        trees.append(l1_to_l2.package_tree(out_i, prep, l1, config))
+
+    if write:
+        def write_one(args):
+            config, tree = args
+            asdf_lite.AsdfFile(tree).write_to(config["OUT"])
+
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            list(pool.map(write_one, zip(configs, trees)))
+    return trees
+
+
 def fpa_summary(mesh, slopes):
     """Example focal-plane reduction: per-SCA means gathered across the
     mesh (the ``fpaplot``-style summary path, riding one all-gather)."""

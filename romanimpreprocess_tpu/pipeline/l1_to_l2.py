@@ -355,6 +355,19 @@ def calibrate_tree(l1, config, pack, area_factor=None, verbose=False):
     ``gen_noise_image.py:147-154``; here it is a function call and the
     jitted core is reused across realizations).
     """
+    prep = prepare_inputs(l1, config, pack, area_factor)
+    core = _get_core(prep["plan"], prep["cfg"], prep["geom"])
+    out = jax.device_get(core(prep["arr"]))
+    tree = package_tree(out, prep, l1, config)
+    if verbose:
+        print(tree["processinfo"]["log"])
+    return tree, out
+
+
+def prepare_inputs(l1, config, pack, area_factor=None):
+    """Host-side preparation: plan, static cfg, and the device array
+    bundle for one SCA.  Returns a dict (``arr`` values are numpy so
+    FPA batching can stack before staging to devices)."""
     mylog = ProcessLog()
     caldir = config["CALDIR"]
     nside = pack.nside
@@ -435,63 +448,79 @@ def calibrate_tree(l1, config, pack, area_factor=None, verbose=False):
 
     de = pack.dark_cube.shape[0] - ngrp  # EXTRACT_REF trailing alignment
     arr = {
-        "opt_slope": jnp.float32(opt_slope if opt_slope is not None else 0.0),
-        "data": jnp.asarray(data),
-        "amp33": jnp.asarray(
+        "opt_slope": np.float32(opt_slope if opt_slope is not None else 0.0),
+        "data": data,
+        "amp33": (
             np.asarray(l1["amp33"]) if "amp33" in l1
             else np.zeros((ngrp, nside, channelwidth), np.uint16)
-        ).astype(jnp.float32),
-        "amp33_med": jnp.asarray(
+        ).astype(np.float32),
+        "amp33_med": (
             pack.amp33_med if pack.amp33_med is not None
             else np.zeros((nside, channelwidth), np.float32)
         ),
-        "dark_cube": jnp.asarray(pack.dark_cube[de:]),
-        "dark_slope": jnp.asarray(pack.dark_slope),
-        "dark_dq": jnp.asarray(
+        "dark_cube": pack.dark_cube[de:],
+        "dark_slope": pack.dark_slope,
+        "dark_dq": (
             pack.dark_dq if pack.dark_dq is not None
             else np.zeros((nside, nside), np.uint32)
         ),
-        "gain": jnp.asarray(pack.gain),
-        "read_sigma": jnp.asarray(pack.read_sigma),
-        "mask_dq": jnp.asarray(
+        "gain": pack.gain,
+        "read_sigma": pack.read_sigma,
+        "mask_dq": (
             pack.mask_dq if pack.mask_dq is not None
             else np.zeros((nside, nside), np.uint32)
         ),
-        "saturation": jnp.asarray(pack.saturation),
-        "saturation_dq": jnp.asarray(
+        "saturation": pack.saturation,
+        "saturation_dq": (
             pack.saturation_dq if pack.saturation_dq is not None
             else np.zeros((nside, nside), np.uint32)
         ),
-        "biascorr": jnp.asarray(
+        "biascorr": (
             pack.biascorr[pack.biascorr.shape[0] - ngrp:]
             if pack.biascorr is not None
             else np.zeros((ngrp, nside - 2 * nb, nside - 2 * nb), np.float32)
         ),
-        "lin_coefs": jnp.asarray(pack.lin_coefs),
-        "lin_smin": jnp.asarray(pack.lin_smin),
-        "lin_smax": jnp.asarray(pack.lin_smax),
-        "lin_sref": jnp.asarray(pack.lin_sref),
-        "lin_dq": jnp.asarray(pack.lin_dq),
-        "ipc_kernel": jnp.asarray(
+        "lin_coefs": pack.lin_coefs,
+        "lin_smin": pack.lin_smin,
+        "lin_smax": pack.lin_smax,
+        "lin_sref": pack.lin_sref,
+        "lin_dq": pack.lin_dq,
+        "ipc_kernel": (
             pack.ipc_kernel if pack.ipc_kernel is not None
             else np.zeros((3, 3, nside - 2 * nb, nside - 2 * nb), np.float32)
         ),
-        "flat": jnp.asarray(pack.flat),
-        "area_factor": jnp.asarray(area_factor),
-        "dark_decay_signal": jnp.asarray(dd_signal),
+        "flat": pack.flat,
+        "area_factor": area_factor,
+        "dark_decay_signal": dd_signal,
     }
 
-    core = _get_core(plan, cfg, (nside, nborder, int(channelwidth)))
-    out = jax.device_get(core(arr))
     mylog.append("Saturation check complete\n")
     mylog.append("Linearity correction complete\n")
     mylog.append("Dark current subtracted\n")
-
     medgain = float(np.median(pack.gain))
     mylog.append(f"median gain = {medgain:8.5f} e/DN\n")
-    skyorder = cfg["skyorder"]
 
-    # ---- assemble the L2 tree ----
+    return dict(
+        arr=arr, plan=plan, cfg=cfg, geom=(nside, nborder, int(channelwidth)),
+        meta=meta, read_pattern=read_pattern, frame_time=frame_time,
+        uopt=uopt, weights_out=weights_out, medgain=medgain,
+        has_dark_decay=has_dark_decay, wfi18=wfi18,
+        exclude_first=exclude_first, log=mylog.output,
+    )
+
+
+def package_tree(out, prep, l1, config):
+    """Package device-core outputs into the L2 ASDF tree."""
+    nside, nborder, _ = prep["geom"]
+    nb = nborder
+    ngrp = np.asarray(l1["data"]).shape[0]
+    l1meta = l1["meta"]
+    meta = prep["meta"]
+    medgain = prep["medgain"]
+    skyorder = prep["cfg"]["skyorder"]
+    has_dark_decay = prep["has_dark_decay"]
+    wfi18 = prep["wfi18"]
+
     slope = out["slope"]
     pdq = out["pdq"]
     rdq = out["rdq"]
@@ -532,30 +561,27 @@ def calibrate_tree(l1, config, pack, area_factor=None, verbose=False):
         "medgain": medgain,
         "skyorder": skyorder,
         "skycoefs": np.asarray(out["skycoefs"], np.float32),
-        "ramp_opt_pars": uopt,
+        "ramp_opt_pars": prep["uopt"],
         "meta": {
             "ngrp": meta["ngrp"],
             "N": meta["N"].astype(np.int16),
             "tbar": meta["tbar"].astype(np.float32),
             "tau": meta["tau"].astype(np.float32),
-            "frame_time": frame_time,
-            "read_pattern": read_pattern,
+            "frame_time": prep["frame_time"],
+            "read_pattern": prep["read_pattern"],
             "nborder": nborder,
         },
-        "weights": weights_out,
+        "weights": prep["weights_out"],
         "config": _jsonable(config),
-        "log": mylog.output,
-        "exclude_first": exclude_first,
+        "log": prep["log"],
+        "exclude_first": prep["exclude_first"],
     }
     if config.get("SLICEOUT", False):
         if ngrp >= 128:
             raise ValueError("too many groups")
         processinfo["endslice"] = np.asarray(out["endslice"], np.int8)
 
-    tree = {"roman": im2, "processinfo": processinfo}
-    if verbose:
-        print(mylog.output)
-    return tree, out
+    return {"roman": im2, "processinfo": processinfo}
 
 
 def _jsonable(obj):
