@@ -147,6 +147,24 @@ def load_caldir(caldir):
     return CalPack(**pack)
 
 
+_PACK_CACHE = {}
+
+
+def load_caldir_cached(caldir, max_entries=20):
+    """Cache CalPacks by their file-path set.
+
+    Batch runs reuse one SCA's calibration across every exposure
+    (reference: re-opened per use site); the cache loads each CALDIR
+    once per process.
+    """
+    key = tuple(sorted((k, str(v)) for k, v in caldir.items()))
+    if key not in _PACK_CACHE:
+        if len(_PACK_CACHE) >= max_entries:
+            _PACK_CACHE.pop(next(iter(_PACK_CACHE)))
+        _PACK_CACHE[key] = load_caldir(caldir)
+    return _PACK_CACHE[key]
+
+
 def amp33_optimal_slope(pack):
     """Optimal row-reference coupling slope from the pink-noise model.
 

@@ -34,13 +34,15 @@ TAPS = [
 
 
 def _shift_cols(arr, dx):
-    """shifted[..., x] = arr[..., x - dx], zero fill (lane shift)."""
+    """shifted[..., x] = arr[..., x - dx] (circular).
+
+    The wrap-around only pollutes the first/last padded halo column,
+    which is outside the valid output region, so a cheap lane roll
+    replaces a zero-fill pad+slice.
+    """
     if dx == 0:
         return arr
-    w = arr.shape[-1]
-    pad = [(0, 0)] * (arr.ndim - 1) + [(1, 1)]
-    p = jnp.pad(arr, pad)
-    return p[..., 1 - dx : 1 - dx + w]
+    return jnp.roll(arr, dx, axis=-1)
 
 
 def _apply_k_slab(y, k, rows_out):

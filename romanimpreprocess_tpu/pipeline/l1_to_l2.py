@@ -314,7 +314,7 @@ def calibrateimage(config, verbose=False, return_arrays=False):
     EXCLUDE_FIRST, SATURATION_BACKUP, SLICEOUT, FITSOUT,
     correct_wfi18_transient, NOISE (used by gen_noise_image).
     """
-    pack = calfiles.load_caldir(config["CALDIR"])
+    pack = calfiles.load_caldir_cached(config["CALDIR"])
     l1 = asdf_lite.open(config["IN"])["roman"]
     area_factor = area_factor_from_config(config, pack.nside)
     tree, out = calibrate_tree(l1, config, pack, area_factor)

@@ -119,7 +119,7 @@ def make_noise_cube(config, seed=None):
     key = jax.random.PRNGKey(seed)
     rng = np.random.default_rng(seed)
 
-    pack = calfiles.load_caldir(config["CALDIR"])
+    pack = calfiles.load_caldir_cached(config["CALDIR"])
     nside = pack.nside
     nb = pars.nborder
     na = nside - 2 * nb

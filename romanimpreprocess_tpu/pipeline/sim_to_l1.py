@@ -338,7 +338,9 @@ class Image2D:
                 "caldir=None (romanisim internal defaults) is not supported; "
                 "use synth.make_cal_files for a self-contained cal set"
             )
-        pack = calfiles.load_caldir(caldir)
+        pack = calfiles.load_caldir_cached(
+            {k: v for k, v in caldir.items() if k != "NO_AMP33"}
+        )
         ft = pars.read_time if frame_time is None else frame_time
         nside = pack.nside
         nb = pars.nborder
