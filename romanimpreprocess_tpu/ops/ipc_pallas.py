@@ -133,6 +133,71 @@ def ipc_rev2_cube(cube, kernel, gain=None, th=16, interpret=False):
     return res
 
 
+def _ipc_kernel_blocked(ya, yc, yb, ka, kc, kb, out_ref, *, th):
+    """Blocked variant: the row halo comes from three shifted BlockSpec
+    windows (above/center/below) instead of manual DMA."""
+    y = jnp.concatenate([ya[...], yc[...], yb[...]], axis=0)  # (3th, G, W)
+    k = jnp.concatenate([ka[...], kc[...], kb[...]], axis=0)  # (3th, 9, W)
+    # output science rows = slab rows [th, 2th); reuse the slab math with
+    # a slab offset of th-2 (a needs rows [th-1, 2th+1))
+    y2 = y[th - 2 : 2 * th + 2]
+    k2 = k[th - 2 : 2 * th + 2]
+    a = _apply_k_slab(y2, k2, th + 2)
+    b = _apply_k_slab(a, k2[1 : th + 3], th)
+    out_ref[...] = 3.0 * y2[2 : th + 2] - 3.0 * a[1 : th + 1] + b
+
+
+@functools.partial(jax.jit, static_argnames=("th", "interpret"))
+def ipc_rev2_cube_blocked(cube, kernel, gain=None, th=16, interpret=False):
+    """Order-2 IPC inverse via shifted-BlockSpec halos (no manual DMA).
+
+    Reads the cube and kernel three times each (the halo windows) but
+    uses only the standard pipelined block machinery — a fallback for
+    backends where manual-DMA kernels are problematic.
+    """
+    ngrp, na, _ = cube.shape
+    y = cube if gain is None else cube * gain
+
+    rows_out = ((na + th - 1) // th) * th
+    width = ((na + 4 + 127) // 128) * 128
+    n_tiles = rows_out // th
+
+    # th leading pad rows, science at [th, th+na), pad to (n_tiles+2)*th
+    rows_in = (n_tiles + 2) * th
+    yp = jnp.zeros((rows_in, ngrp, width), dtype=jnp.float32)
+    yp = yp.at[th : th + na, :, 2 : 2 + na].set(y.transpose(1, 0, 2))
+    kp = jnp.zeros((rows_in, 9, width), dtype=jnp.float32)
+    kp = kp.at[th : th + na, :, 2 : 2 + na].set(
+        kernel.reshape(9, na, na).transpose(1, 0, 2)
+    )
+
+    yspec = [
+        pl.BlockSpec((th, ngrp, width), (lambda i, d=d: (i + d, 0, 0)),
+                     memory_space=pltpu.VMEM)
+        for d in (0, 1, 2)
+    ]
+    kspec = [
+        pl.BlockSpec((th, 9, width), (lambda i, d=d: (i + d, 0, 0)),
+                     memory_space=pltpu.VMEM)
+        for d in (0, 1, 2)
+    ]
+    out = pl.pallas_call(
+        functools.partial(_ipc_kernel_blocked, th=th),
+        grid=(n_tiles,),
+        in_specs=yspec + kspec,
+        out_specs=pl.BlockSpec(
+            (th, ngrp, width), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((rows_out, ngrp, width), jnp.float32),
+        interpret=interpret,
+    )(yp, yp, yp, kp, kp, kp)
+
+    res = out[:na, :, 2 : 2 + na].transpose(1, 0, 2)
+    if gain is not None:
+        res = res / gain
+    return res
+
+
 def correct_cube_fused(data, kernel, gain=None, nborder=None, th=16,
                        interpret=False):
     """Drop-in fused replacement for ``ops.ipc.correct_cube`` (order 2)."""

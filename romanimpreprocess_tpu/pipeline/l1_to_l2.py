@@ -48,8 +48,7 @@ def _refpix_correct(data, dark_cube, amp33, amp33_med, opt_slope,
     row subtraction with the optimal amp33 slope, then channel
     subtraction; dark re-added afterwards."""
 
-    def one_group(args):
-        frame, dark, a33 = args
+    def one_group(frame, dark, a33):
         aug = jnp.zeros((nside, nside + channelwidth), dtype=jnp.float32)
         aug = aug.at[:, :nside].set(frame - dark)
         if use_amp33:
@@ -66,7 +65,9 @@ def _refpix_correct(data, dark_cube, amp33, amp33_med, opt_slope,
         )
         return aug[:, :nside] + dark
 
-    return jax.lax.map(one_group, (data, dark_cube, amp33))
+    # vmap (not lax.map): the per-group median sorts batch into one
+    # large sort instead of ngrp serialized ones
+    return jax.vmap(one_group)(data, dark_cube, amp33)
 
 
 def _dark_decay_signal(read_pattern, frame_time, amplitude, time_constant):
