@@ -459,6 +459,64 @@ class Image2D:
             return True
         return False
 
+    def make_ideal_l2(self, caldir, u=0.4 / 1.8 / 6.5**2):
+        """Idealized L2 from the in-memory L1 (the reference's ``af2``
+        from ``romanisim.image.make_l2``, ``sim_to_isim.py:745-789``):
+        linearity-corrected Casertano slope, dark and flat removed, no
+        jump machinery."""
+        pack = calfiles.load_caldir_cached(
+            {k: v for k, v in caldir.items() if k != "NO_AMP33"}
+        )
+        l1 = self.af["roman"]
+        nb = pars.nborder
+        nside = pack.nside
+        act = slice(nb, nside - nb)
+        read_pattern = [list(g) for g in l1["meta"]["exposure"]["read_pattern"]]
+        ft = float(l1["meta"]["exposure"]["frame_time"])
+        meta = ramp.ma_table_meta(read_pattern, ft)
+        exclude_first = read_pattern[0] == [0]
+        lin = linearity.LinearityData(
+            jnp.asarray(pack.lin_coefs), jnp.asarray(pack.lin_smin),
+            jnp.asarray(pack.lin_smax), jnp.asarray(pack.lin_sref),
+            jnp.asarray(pack.lin_dq),
+        )
+        lin_cube, _ = linearity.apply_linearity_cube(
+            jnp.asarray(np.asarray(l1["data"], np.float32)), lin,
+            do_not_flag_first=exclude_first,
+        )
+        K = ramp.casertano_weights(u, meta, exclude_first)
+        slope = np.einsum("t,tij->ij", K, np.asarray(lin_cube))
+        slope = slope[act, act] - pack.dark_slope[act, act]
+        slope = slope / np.clip(pack.flat[act, act], 0.1, 10.0)
+        self.af2 = asdf_lite.AsdfFile(
+            {
+                "roman": {
+                    "meta": dict(l1["meta"]),
+                    "data": slope.astype(np.float32),
+                    "dq": (
+                        # resultantdq is stored at active-region geometry
+                        np.bitwise_or.reduce(
+                            np.asarray(l1["resultantdq"], np.uint32), axis=0
+                        )
+                        if "resultantdq" in l1
+                        else np.zeros(slope.shape, np.uint32)
+                    ),
+                },
+                "romanimpreprocess_tpu": {"version": __version__},
+            }
+        )
+        return self.af2
+
+    def L2_write_to(self, filename):
+        """Write the idealized L2 (build it first with make_ideal_l2)."""
+        if hasattr(self, "af2"):
+            from ..utils import typefix
+
+            typefix.fix(self.af2.tree)
+            self.af2.write_to(filename)
+            return True
+        return False
+
 
 class Image2D_from_L1(Image2D):
     """Shortcut workflow: a 2-D image constructed from an L1 data file
