@@ -8,7 +8,6 @@ L1->L2 core consumes.
 
 import numpy as np
 
-from . import pars
 from .ops import ramp
 
 READ_PATTERN_DEFAULT = [[0], [1, 2], [3, 4, 5], [6, 7, 8, 9, 10], [11, 12], [13]]

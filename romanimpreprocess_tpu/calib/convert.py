@@ -12,7 +12,6 @@ import datetime
 
 import numpy as np
 
-from .. import pars
 from ..io import fits_lite
 
 

@@ -147,8 +147,9 @@ def _ipc_kernel_blocked(ya, yc, yb, ka, kc, kb, out_ref, *, th):
     out_ref[...] = 3.0 * y2[2 : th + 2] - 3.0 * a[1 : th + 1] + b
 
 
-@functools.partial(jax.jit, static_argnames=("th", "interpret"))
-def ipc_rev2_cube_blocked(cube, kernel, gain=None, th=16, interpret=False):
+@functools.partial(jax.jit, static_argnames=("th", "interpret", "vmem_mb"))
+def ipc_rev2_cube_blocked(cube, kernel, gain=None, th=16, interpret=False,
+                          vmem_mb=64):
     """Order-2 IPC inverse via shifted-BlockSpec halos (no manual DMA).
 
     Reads the cube and kernel three times each (the halo windows) but
@@ -189,6 +190,10 @@ def ipc_rev2_cube_blocked(cube, kernel, gain=None, th=16, interpret=False):
             (th, ngrp, width), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((rows_out, ngrp, width), jnp.float32),
+        compiler_params=(
+            None if interpret
+            else pltpu.CompilerParams(vmem_limit_bytes=vmem_mb * 1024 * 1024)
+        ),
         interpret=interpret,
     )(yp, yp, yp, kp, kp, kp)
 

@@ -31,7 +31,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..dqflags import group as gdq
 from ..dqflags import pixel
 from .ramp import (
     _pairs,

@@ -19,12 +19,10 @@ process log.
 """
 
 import sys
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-import yaml
 
 from .. import pars
 from ..config import load_config
@@ -34,7 +32,6 @@ from ..io import asdf_lite, calfiles, fits_lite
 from ..ops import ipc, likely, linearity, mask, ramp, refsub, saturation, sky, wcsutils
 from ..utils.processlog import ProcessLog
 from . import oututils
-from .. import __version__
 
 
 # --------------------------------------------------------------------------
