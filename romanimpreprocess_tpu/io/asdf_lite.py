@@ -175,13 +175,36 @@ class AsdfFile:
 
     # -- writing ---------------------------------------------------------
     def write_to(self, target):
+        """Write to a path or file object, streaming binary blocks
+        (no intermediate full-file buffer; L1 cubes are ~400 MB)."""
         if hasattr(target, "write"):
-            target.write(self._serialize())
+            self._write_stream(target)
         else:
             with _io.open(target, "wb") as f:
-                f.write(self._serialize())
+                self._write_stream(f)
+
+    def _write_stream(self, out):
+        ydoc, arrays = self._yaml_and_arrays()
+        out.write(HEADER_LINES)
+        out.write(ydoc.encode("utf-8"))
+        out.write(b"...\n")
+        for a in arrays:
+            raw = memoryview(a).cast("B")
+            out.write(BLOCK_MAGIC)
+            out.write(struct.pack(">H", 48))
+            header = struct.pack(
+                ">I4sQQQ", 0, b"\x00" * 4, len(raw), len(raw), len(raw)
+            )
+            header += b"\x00" * 16  # md5 omitted (all-zero = unchecked)
+            out.write(header)
+            out.write(raw)
 
     def _serialize(self):
+        buf = _io.BytesIO()
+        self._write_stream(buf)
+        return buf.getvalue()
+
+    def _yaml_and_arrays(self):
         arrays = []
 
         def _encode(obj):
@@ -234,22 +257,7 @@ class AsdfFile:
         )
         # tag the document root as !core/asdf-1.1.0 like standard asdf
         ydoc = ydoc.replace("---", "--- !core/asdf-1.1.0", 1)
-
-        out = _io.BytesIO()
-        out.write(HEADER_LINES)
-        out.write(ydoc.encode("utf-8"))
-        out.write(b"...\n")
-        for a in arrays:
-            raw = a.tobytes()
-            out.write(BLOCK_MAGIC)
-            out.write(struct.pack(">H", 48))
-            header = struct.pack(
-                ">I4sQQQ", 0, b"\x00" * 4, len(raw), len(raw), len(raw)
-            )
-            header += b"\x00" * 16  # md5 omitted (all-zero = unchecked)
-            out.write(header)
-            out.write(raw)
-        return out.getvalue()
+        return ydoc, arrays
 
 
 class _TaggedMap(dict):
