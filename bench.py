@@ -30,6 +30,7 @@ def main():
 
     nside = 4096
     arr, plan, cfg, geom = benchlib.core_bundle(nside=nside)
+    cfg = dict(cfg, ipc_pallas=True)  # fused Pallas IPC kernel
     core = l1_to_l2.make_core(plan, cfg, geom)
     arr = {k: jax.device_put(jnp.asarray(v)) for k, v in arr.items()}
 

@@ -119,11 +119,13 @@ def core_bundle(nside=4096, read_pattern=None, seed=1000, frame_time=3.04,
         exclude_first=True,
         backup=1,
         use_amp33=True,
+        likelihood_fit=False,
         has_biascorr=False,
         has_dark_decay=False,
         wfi18=False,
         first_is_reset=(read_pattern[0] == [0]),
         has_ipc=True,
+        ipc_pallas=False,
         has_dark_dq=False,
         skyorder=skyorder,
     )

@@ -1,0 +1,207 @@
+"""Detector characterization from flat/dark ramps (solid-waffle analog).
+
+The reference delegates linearity/gain/IPC *measurement* to the
+external solid-waffle package and only consumes its output files
+(SURVEY.md §2.3).  This module internalizes the core characterization
+so the framework's calibration production is fully self-contained,
+TPU-first:
+
+- :func:`fit_linearity` — per-pixel Legendre linearity curves from
+  flat-field ramps: an alternating least-squares fit of a shared
+  monotone response map g(S) (Legendre in the rescaled signal) and
+  per-ramp flux rates, batched over all pixels as fused normal-equation
+  accumulations (no per-pixel Python).  Output follows the
+  ``linearitylegendre`` reference-file convention (Slin = 0 and
+  dSlin/dS = 1 at Sref).
+- :func:`gain_from_mean_variance` — photon-transfer gain per superpixel
+  from flat/dark difference frames: g = mean(signal) / var(diff/sqrt2).
+- :func:`ipc_from_autocorr` — IPC alphas from nearest-neighbor
+  autocorrelations of flat difference frames (correlation method:
+  alpha ~ C(d)/ (2 C(0)) for shot-noise-dominated diffs).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.legendre import legendre_basis_1d
+
+
+def _legendre_design(z, order):
+    """(order+1, ...) stack of P_L(z)."""
+    return legendre_basis_1d(order, z)
+
+
+def fit_linearity(ramps, t_arrays, sref_frame_value, *, p_order=6,
+                  smin=None, smax=None, n_iter=4, sat_fraction=0.93):
+    """Fit per-pixel Legendre linearity curves from ramp cubes.
+
+    Parameters
+    ----------
+    ramps : list of (nframes_r, ny, nx) float32
+        Raw-DN ramp cubes (e.g. high flat, low flat); each assumed to
+        accrue charge linearly in time at an unknown per-pixel rate.
+    t_arrays : list of (nframes_r,) float
+        Frame times of each ramp (same clock).
+    sref_frame_value : (ny, nx) float32
+        Raw DN defining the linearized zero (the bias frame — the
+        reference's BIAS SLICE).
+    p_order : Legendre order of the fitted response.
+    smin, smax : optional (ny, nx) domain bounds; default: data range
+        padded (the reference's NEGATIVEPAD below bias) and the
+        ``sat_fraction`` quantile of the brightest ramp.
+    n_iter : alternating-fit iterations.
+
+    Returns
+    -------
+    dict with ``data`` (p_order+1, ny, nx), ``Smin``, ``Smax``, ``Sref``,
+    ``dq`` — the ``linearitylegendre`` tree payload.
+
+    Model: a shared monotone map g(S) (per pixel) with g(S_k) ~ a_r t_k
+    for each ramp r.  Gauge fixing: g -> (g - g(Sref)) / g'(Sref) makes
+    Slin = 0 and slope 1 at Sref, matching the reference convention
+    (``docs/from_sim_README.rst`` linearity spec).
+    """
+    ny, nx = ramps[0].shape[-2:]
+    stacked = jnp.concatenate([jnp.asarray(r) for r in ramps], axis=0)
+    nsamp = stacked.shape[0]
+    ramp_id = np.concatenate(
+        [np.full(r.shape[0], i, np.int32) for i, r in enumerate(ramps)]
+    )
+    tvec = np.concatenate([np.asarray(t, np.float64) for t in t_arrays])
+    nramp = len(ramps)
+
+    if smin is None:
+        smin = np.minimum(
+            np.asarray(jnp.min(stacked, axis=0)),
+            np.asarray(sref_frame_value),
+        ) - 500.0  # NEGATIVEPAD
+    if smax is None:
+        smax = np.asarray(jnp.max(stacked, axis=0)) / sat_fraction
+    smin = jnp.asarray(smin, jnp.float32)
+    smax = jnp.asarray(smax, jnp.float32)
+    sref = jnp.asarray(sref_frame_value, jnp.float32)
+
+    z = -1.0 + 2.0 * (stacked - smin[None]) / (smax - smin)[None]
+    z = jnp.clip(z, -1.0, 1.0)
+    P = _legendre_design(z, p_order)  # (p+1, nsamp, ny, nx)
+    nc = p_order + 1
+
+    @jax.jit
+    def solve(P):
+        # Eliminating the per-ramp rates analytically, the response
+        # coefficients minimize c^T M c with
+        #   M = sum_k b_k b_k^T - sum_r (w_r w_r^T) / sum_{k in r} t_k^2,
+        #   b_k = P(z_k),  w_r = sum_{k in r} t_k b_k
+        # (the quadratic form of residuals after projecting out each
+        # ramp's best linear-in-time fit).  The response is M's
+        # near-null eigenvector; batched inverse iteration finds it.
+        A = jnp.einsum("ikyx,jkyx->ijyx", P, P)
+        M = A
+        for r in range(nramp):
+            tw = jnp.asarray(np.where(ramp_id == r, tvec, 0.0), jnp.float32)
+            w = jnp.einsum("ikyx,k->iyx", P, tw)
+            M = M - jnp.einsum("iyx,jyx->ijyx", w, w) / float(
+                np.sum(tvec[ramp_id == r] ** 2)
+            )
+        MT = jnp.moveaxis(M, (0, 1), (-2, -1))  # (ny, nx, nc, nc)
+        eps = 1e-5 * jnp.trace(MT, axis1=-2, axis2=-1)[..., None, None] / nc
+        MT = MT + eps * jnp.eye(nc)
+        # start from the z-linear response (coef = e_1)
+        x = jnp.zeros((ny, nx, nc)).at[..., 1].set(1.0)
+
+        def body(x, _):
+            x = jnp.linalg.solve(MT, x[..., None])[..., 0]
+            x = x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+            return x, None
+
+        x, _ = jax.lax.scan(body, x, None, length=n_iter)
+        return jnp.moveaxis(x, -1, 0)  # (nc, ny, nx)
+
+    coef = solve(P)
+
+    # gauge fix at Sref: value 0, derivative 1
+    zref = -1.0 + 2.0 * (sref - smin) / (smax - smin)
+    Pref = _legendre_design(zref, p_order)  # (nc, ny, nx)
+    g_ref = jnp.einsum("iyx,iyx->yx", coef, Pref)
+    # derivative dP_L/dz via finite difference of the basis (exact would
+    # use the derivative recursion; h small relative to the domain)
+    h = 1e-3
+    Pref_p = _legendre_design(zref + h, p_order)
+    Pref_m = _legendre_design(zref - h, p_order)
+    dg_dz = jnp.einsum("iyx,iyx->yx", coef, (Pref_p - Pref_m) / (2 * h))
+    dz_ds = 2.0 / (smax - smin)
+    dg_ds = dg_dz * dz_ds
+    dg_ds = jnp.where(jnp.abs(dg_ds) < 1e-8, 1e-8, dg_ds)
+
+    coef_out = coef / dg_ds[None]
+    coef_out = coef_out.at[0].add(-g_ref / dg_ds)
+
+    dq = np.where(
+        np.asarray(dg_ds) <= 1e-6, 1, 0
+    ).astype(np.uint32)
+
+    return {
+        "data": np.asarray(coef_out, np.float32),
+        "Smin": np.asarray(smin, np.float32),
+        "Smax": np.asarray(smax, np.float32),
+        "Sref": np.asarray(sref, np.float32),
+        "dq": dq,
+    }
+
+
+def gain_from_mean_variance(flat_cube, superpixel=32, read_var=0.0):
+    """Photon-transfer gain per superpixel (e/DN), expanded full-frame.
+
+    Uses consecutive-frame differences of a flat ramp (= independent
+    Poisson increments): mean m DN, variance m/g + 2 sigma_read^2, so
+    g = m / (var - 2 read_var).  ``read_var`` (sigma_read^2, DN^2, e.g.
+    from dark diffs) subtracts the read-noise floor; the reference's
+    solid-waffle does the full correlation analysis — this is the
+    classical photon-transfer estimate.
+    """
+    flat_cube = jnp.asarray(flat_cube, jnp.float32)
+    diffs = flat_cube[1:] - flat_cube[:-1]  # (nd, ny, nx) increments
+    ny, nx = diffs.shape[-2:]
+    k = superpixel
+    nsy, nsx = ny // k, nx // k
+    d = diffs[:, : nsy * k, : nsx * k].reshape(-1, nsy, k, nsx, k)
+    # per-pixel temporal stats (spatial flat structure cancels), then
+    # superpixel averages
+    mean_pix = jnp.mean(d, axis=0)
+    var_pix = jnp.var(d, axis=0)
+    mean_sig = jnp.mean(mean_pix, axis=(1, 3))
+    var_sig = jnp.mean(var_pix, axis=(1, 3)) - 2.0 * read_var
+    gain_sp = mean_sig / jnp.clip(var_sig, 1e-6, None)
+    gain = jnp.repeat(jnp.repeat(gain_sp, k, axis=0), k, axis=1)
+    out = jnp.ones((ny, nx), jnp.float32)
+    out = out.at[: nsy * k, : nsx * k].set(gain)
+    return np.asarray(out)
+
+
+def ipc_from_autocorr(flat_cube, nborder=4):
+    """IPC alphas (alpha_h, alpha_v, alpha_d) from flat-difference
+    nearest-neighbor autocorrelations.
+
+    For shot noise passed through a small symmetric kernel K,
+    C(d)/C(0) ~ 2 alpha_d to first order; returns scalar alphas
+    (solid-waffle reports superpixel averages; the correlation method
+    is intrinsically an average).
+    """
+    flat_cube = np.asarray(flat_cube, np.float64)
+    diffs = flat_cube[1:] - flat_cube[:-1]
+    nb = nborder
+    d = diffs[:, nb:-nb, nb:-nb]
+    d = d - d.mean(axis=(1, 2), keepdims=True)
+    c0 = np.mean(d * d)
+    ch = np.mean(d[:, :, 1:] * d[:, :, :-1])
+    cv = np.mean(d[:, 1:, :] * d[:, :-1, :])
+    cd = 0.5 * (
+        np.mean(d[:, 1:, 1:] * d[:, :-1, :-1])
+        + np.mean(d[:, 1:, :-1] * d[:, :-1, 1:])
+    )
+    return {
+        "alphaH": float(ch / (2.0 * c0)),
+        "alphaV": float(cv / (2.0 * c0)),
+        "alphaD": float(cd / (2.0 * c0)),
+    }

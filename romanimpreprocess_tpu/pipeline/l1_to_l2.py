@@ -29,7 +29,7 @@ from ..config import load_config
 from ..dqflags import group as gdq
 from ..dqflags import pixel
 from ..io import asdf_lite, calfiles, fits_lite
-from ..ops import ipc, likely, linearity, mask, ramp, refsub, saturation, sky, wcsutils
+from ..ops import ipc, ipc_pallas, likely, linearity, mask, ramp, refsub, saturation, sky, wcsutils
 from ..utils.processlog import ProcessLog
 from . import oututils
 
@@ -172,9 +172,14 @@ def make_core(plan, cfg, geom):
         # ---- IPC deconvolution ----
         if cfg["has_ipc"]:
             gain_act = arr["gain"][nb:-nb, nb:-nb]
-            data = ipc.correct_cube(
-                data, arr["ipc_kernel"], gain=gain_act, nborder=nb
-            )
+            if cfg.get("ipc_pallas", False):
+                data = ipc_pallas.correct_cube_fused(
+                    data, arr["ipc_kernel"], gain=gain_act, nborder=nb
+                )
+            else:
+                data = ipc.correct_cube(
+                    data, arr["ipc_kernel"], gain=gain_act, nborder=nb
+                )
 
         # ---- ramp fit + jump detection ----
         dumo = chisq = None
@@ -440,6 +445,8 @@ def prepare_inputs(l1, config, pack, area_factor=None):
         wfi18=wfi18,
         first_is_reset=(read_pattern[0] == [0]),
         has_ipc="ipc4d" in caldir,
+        # fused Pallas IPC kernel (TPU only; the CPU interpreter is slow)
+        ipc_pallas=(str(config.get("IPC_BACKEND", "xla")).lower() == "pallas"),
         has_dark_dq=pack.dark_dq is not None,
         skyorder=int(config.get("SKYORDER", -1)),
     )
