@@ -150,6 +150,57 @@ def fit_linearity(ramps, t_arrays, sref_frame_value, *, p_order=6,
     }
 
 
+def make_linearity_file(out_path, sca, ramps, t_arrays, sref_frame_value,
+                        *, p_order=6, pflat=None, dark_slope=None, **kw):
+    """Fit and write a ``linearitylegendre`` reference file.
+
+    The internal replacement for the external solid-waffle linearity
+    run (whose JSON config ``calib.swconfig.linearity_config`` emits).
+    Optional ``pflat``/``dark_slope`` planes are carried into the tree
+    as the reference files do.
+    """
+    from datetime import datetime, timezone
+
+    from .. import __version__
+    from ..io import asdf_lite
+
+    fit = fit_linearity(ramps, t_arrays, sref_frame_value,
+                        p_order=p_order, **kw)
+    ny, nx = fit["Smin"].shape
+    tree = {
+        "roman": {
+            "meta": {
+                "author": "romanimpreprocess_tpu.calib.characterize",
+                "description": "internal linearity fit",
+                "instrument": {"detector": f"WFI{sca:02d}", "name": "WFI"},
+                "origin": "PIT - romanimpreprocess_tpu",
+                "date": datetime.now(timezone.utc).isoformat(),
+                "pedigree": "DUMMY",
+                "reftype": "LINEARITYLEGENDRE",
+                "telescope": "ROMAN",
+                "useafter": "2020-01-01T00:00:00.000",
+                "software_version": __version__,
+            },
+            "data": fit["data"],
+            "dq": fit["dq"],
+            "Smin": fit["Smin"],
+            "Smax": fit["Smax"],
+            "Sref": fit["Sref"],
+            "pflat": (
+                np.asarray(pflat, np.float32) if pflat is not None
+                else np.ones((ny, nx), np.float32)
+            ),
+            "dark": (
+                np.asarray(dark_slope, np.float32) if dark_slope is not None
+                else np.zeros((ny, nx), np.float32)
+            ),
+            "ramperr": np.ones((2, ny, nx), np.uint16),
+        }
+    }
+    asdf_lite.AsdfFile(tree).write_to(out_path)
+    return out_path
+
+
 def gain_from_mean_variance(flat_cube, superpixel=32, read_var=0.0):
     """Photon-transfer gain per superpixel (e/DN), expanded full-frame.
 
