@@ -170,16 +170,37 @@ def make_core(plan, cfg, geom):
         pdq = pdq | dq_lin
 
         # ---- IPC deconvolution ----
+        # The dark-slope and (clipped) flat deconvolutions needed later
+        # are data-independent single frames with the same kernel, so
+        # they ride along in the cube pass: per-frame gain conjugation
+        # is pre/post scaling, and the kernel runs once over ngrp+2
+        # frames instead of three separate invocations.
+        dslope_ipc = None
+        flat_ipc = None
         if cfg["has_ipc"]:
             gain_act = arr["gain"][nb:-nb, nb:-nb]
+            gain_flat = jnp.clip(gain_act, 0.1, None)
+            flat_clipped = jnp.clip(
+                arr["flat"][nb:-nb, nb:-nb], 0.1, 10.0
+            )
+            stacked = jnp.concatenate(
+                [
+                    data[:, nb:-nb, nb:-nb] * gain_act[None],
+                    (arr["dark_slope"][nb:-nb, nb:-nb] * gain_act)[None],
+                    (flat_clipped * gain_flat)[None],
+                ]
+            )
             if cfg.get("ipc_pallas", False):
-                data = ipc_pallas.correct_cube_fused(
-                    data, arr["ipc_kernel"], gain=gain_act, nborder=nb
+                corr = ipc_pallas.ipc_rev2_cube_blocked(
+                    stacked, arr["ipc_kernel"]
                 )
             else:
-                data = ipc.correct_cube(
-                    data, arr["ipc_kernel"], gain=gain_act, nborder=nb
-                )
+                corr = ipc.ipc_rev(stacked, arr["ipc_kernel"])
+            data = data.at[:, nb:-nb, nb:-nb].set(
+                corr[:ngrp] / gain_act[None]
+            )
+            dslope_ipc = corr[ngrp] / gain_act
+            flat_ipc = corr[ngrp + 1] / gain_flat
 
         # ---- ramp fit + jump detection ----
         dumo = chisq = None
@@ -195,14 +216,12 @@ def make_core(plan, cfg, geom):
             )
 
         # ---- dark current subtraction (IPC-corrected dark slope) ----
-        dslope = arr["dark_slope"]
         if cfg["has_ipc"]:
-            gain_act = arr["gain"][nb:-nb, nb:-nb]
-            dcorr = ipc.ipc_rev(
-                dslope[nb:-nb, nb:-nb], arr["ipc_kernel"], gain=gain_act
+            slope = slope.at[nb:-nb, nb:-nb].add(-dslope_ipc)
+        else:
+            slope = slope.at[nb:-nb, nb:-nb].add(
+                -arr["dark_slope"][nb:-nb, nb:-nb]
             )
-            dslope = dslope.at[nb:-nb, nb:-nb].set(dcorr)
-        slope = slope.at[nb:-nb, nb:-nb].add(-dslope[nb:-nb, nb:-nb])
         if cfg["has_dark_dq"]:
             pdq = pdq | arr["dark_dq"]
 
@@ -228,10 +247,7 @@ def make_core(plan, cfg, geom):
                 | jnp.where(g <= 0.1, jnp.uint32(pixel.NO_GAIN_VALUE),
                             jnp.uint32(0))
             )
-            g = jnp.clip(g, 0.1, None)
-            flat = flat.at[nb:-nb, nb:-nb].set(
-                ipc.ipc_rev(flat[nb:-nb, nb:-nb], arr["ipc_kernel"], gain=g)
-            )
+            flat = flat.at[nb:-nb, nb:-nb].set(flat_ipc)
         flat = (flat / arr["area_factor"]).astype(jnp.float32)
         slope = slope / flat
         ser = ser / flat

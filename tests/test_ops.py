@@ -219,3 +219,31 @@ def test_saturation_no_sat_check():
     )
     assert not np.array(rdq2)[2, 4, 4] & 2
     assert np.array(pdq2)[4, 4] & 2**21
+
+
+def test_block_nanmedian_bit_exact():
+    """The bit-bisection block median is bit-identical to numpy
+    nanmedian (odd/even counts, NaNs, negatives, all-NaN blocks)."""
+    import warnings
+
+    r = np.random.RandomState(0)
+    for ny, N in [(256, 8), (240, 8), (129, 3)]:
+        arr = r.normal(0, 10, (ny, ny)).astype(np.float32)
+        arr[r.uniform(size=(ny, ny)) < 0.1] = np.nan
+        got = np.asarray(sky.block_nanmedian(jnp.asarray(arr), N))
+        ky = ny // N
+        py = (ny % N) // 2
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            want = np.nanmedian(
+                arr[py : py + N * ky, py : py + N * ky].reshape(N, ky, N, ky),
+                axis=(1, 3),
+            )
+        assert np.array_equal(got, want, equal_nan=True)
+    arr = np.full((16, 16), np.nan, np.float32)
+    arr[8:, :] = -r.uniform(1, 5, (8, 16)).astype(np.float32)
+    got = np.asarray(sky.block_nanmedian(jnp.asarray(arr), 2))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        want = np.nanmedian(arr.reshape(2, 8, 2, 8), axis=(1, 3))
+    assert np.array_equal(got, want, equal_nan=True)
