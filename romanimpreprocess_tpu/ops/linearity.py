@@ -77,21 +77,27 @@ def apply_linearity_cube(S, lin, do_not_flag_first=True, attempt_corr=None):
 
     fallback_bits = jnp.uint32(pixel.NO_LIN_CORR | pixel.REFERENCE_PIXEL)
 
-    def body(dq, inputs):
-        j, Sj, att = inputs
-        z = rescale(Sj, lin)
-        z = jnp.where((j == 0) & do_not_flag_first, jnp.clip(z, -1.0, 1.0), z)
-        phi, exflag = legendre_eval(z, lin.coefs)
-        phi = jnp.where((dq & fallback_bits) == 0, phi, Sj - lin.sref)
-        newflags = jnp.where(
-            exflag & att & ~((j == 0) & do_not_flag_first),
-            jnp.uint32(pixel.NO_LIN_CORR),
-            jnp.uint32(0),
-        )
-        return dq | newflags, phi.astype(jnp.float32)
-
-    dq, phi = jax.lax.scan(
-        body, lin.dq, (jnp.arange(ngrp), S, attempt_corr)
+    # All groups evaluate in one batched pass; the reference's
+    # sequential dq feedback (an extrapolation flag raised in an early
+    # group triggers the fallback for later groups) is an exclusive
+    # prefix-OR of the new flags over the group axis — no scan needed.
+    z = rescale(S, lin)
+    if do_not_flag_first:
+        z = z.at[0].set(jnp.clip(z[0], -1.0, 1.0))
+    phi, exflag = legendre_eval(z, lin.coefs[:, None])
+    newflag = exflag & attempt_corr
+    if do_not_flag_first:
+        newflag = newflag.at[0].set(False)
+    # exclusive prefix OR: has an earlier group flagged this pixel?
+    prefix = jnp.cumsum(newflag.astype(jnp.int32), axis=0) - newflag
+    dq_j = lin.dq[None] | jnp.where(
+        prefix > 0, jnp.uint32(pixel.NO_LIN_CORR), jnp.uint32(0)
+    )
+    phi = jnp.where(
+        (dq_j & fallback_bits) == 0, phi, S - lin.sref
+    ).astype(jnp.float32)
+    dq = lin.dq | jnp.where(
+        jnp.any(newflag, axis=0), jnp.uint32(pixel.NO_LIN_CORR), jnp.uint32(0)
     )
     return phi, dq
 
