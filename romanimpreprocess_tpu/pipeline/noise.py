@@ -39,6 +39,8 @@ from ..io import asdf_lite, calfiles, fits_lite
 from ..ops import sky
 from . import l1_to_l2, sim_to_l1
 
+_medfit_j = jax.jit(sky.medfit, static_argnames=("N", "order"))
+
 
 def _weightvecs_and_endslice(processinfo, ngrp):
     """Per-endslice ramp-fit weight vectors + clipped endslice map
@@ -238,7 +240,7 @@ def make_noise_cube(config, seed=None):
             flags = layer_subscript(cmd, "P")
             if "b" in flags:
                 sky_order = int("0" + layer_subscript(flags.upper(), "B"))
-                _, skylevel = sky.medfit(
+                _, skylevel = _medfit_j(
                     jnp.asarray(base_l2["roman"]["data_withsky"]),
                     order=sky_order,
                 )
@@ -264,7 +266,7 @@ def make_noise_cube(config, seed=None):
 
         if "S" in cmd:
             sky_order = int("0" + layer_subscript(cmd, "S"))
-            _, model = sky.medfit(jnp.asarray(diff), order=sky_order)
+            _, model = _medfit_j(jnp.asarray(diff), order=sky_order)
             diff = diff - np.asarray(model)
 
         noiseimage[i_noise] = diff

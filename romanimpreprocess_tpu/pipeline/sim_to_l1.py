@@ -39,6 +39,13 @@ from ..io import asdf_lite, calfiles, fits_lite
 from ..ops import ipc, linearity, pink, ramp, wcsutils
 from .. import __version__
 
+# jitted wrappers for host-driven one-off device calls (eager dispatch
+# is unsupported on the axon TPU backend)
+_ipc_rev_j = jax.jit(ipc.ipc_rev, static_argnames=("order",))
+_lin_cube_j = jax.jit(
+    linearity.apply_linearity_cube, static_argnames=("do_not_flag_first",)
+)
+
 # Cosmic-ray model: flux [hits/cm^2/s] x pixel area [cm^2], log-normal
 # charge.  Tuned to the reference's test envelope of 10k-30k JUMP_DET
 # pixels per 4088^2, 139.8 s exposure (test_workflow.py:624-627;
@@ -141,6 +148,74 @@ def _accumulate_resultants(key, lam_per_read, read_pattern, crparam):
     return res[:ngrp], crh
 
 
+_SIM_CORE_CACHE = {}
+
+
+def _l1_core_factory(read_pattern, ft, has_biascorr, has_ipc, do_cr):
+    """Cached jitted L1-synthesis core (arrays passed as arguments —
+    closing over full-frame constants breaks the axon remote compile,
+    and eager dispatch is unsupported on that backend)."""
+    key_t = (tuple(tuple(g) for g in read_pattern), ft, has_biascorr,
+             has_ipc, do_cr)
+    if key_t in _SIM_CORE_CACHE:
+        return _SIM_CORE_CACHE[key_t]
+
+    ngrp = len(read_pattern)
+    nvec = np.asarray([len(g) for g in read_pattern], np.float32)
+
+    @jax.jit
+    def core(key, rate_e, arrs):
+        na = rate_e.shape[0]
+        k_reset, k_app, k_read = jax.random.split(key, 3)
+
+        gain_act = arrs["gain_act"]
+        # reset noise in electrons (sim_to_isim.py:194-215)
+        reset_e = (
+            jax.random.normal(k_reset, (na, na))
+            * arrs["resetnoise_act"] * gain_act
+        )
+        if has_biascorr:
+            reset_e = reset_e - (
+                arrs["biascorr_t0"] * arrs["dark_slope_act"] / gain_act
+            )
+
+        lin = linearity.LinearityData(
+            arrs["lin_coefs"], arrs["lin_smin"], arrs["lin_smax"],
+            arrs["lin_sref"], arrs["lin_dq"],
+        )
+        il = IL(lin, arrs["gain"],
+                arrs["ipc_kernel"] if has_ipc else None, start_e=reset_e)
+
+        lam_per_frame = jnp.clip(rate_e * ft, 0.0, None)
+        res_e, crhits = _accumulate_resultants(
+            k_app, lam_per_frame, read_pattern,
+            {"frame_time": ft} if do_cr else None,
+        )
+
+        # IL forward model per resultant (electrons in, raw DN out)
+        resultants = jax.lax.map(il.apply, res_e)
+
+        # read noise / sqrt(N_j) (add_read_noise_to_resultants)
+        rn = (
+            jax.random.normal(k_read, (ngrp, na, na))
+            * arrs["read_sigma_act"][None]
+            / jnp.sqrt(jnp.asarray(nvec))[:, None, None]
+        )
+        resultants = resultants + rn
+        if has_biascorr:
+            resultants = resultants + arrs["biascorr"]
+        resultants = jnp.round(resultants)
+
+        # dq: CR-affected pixels flagged JUMP_DET on every group
+        dq = jnp.where(
+            (crhits > 0)[None], jnp.uint32(gdq.JUMP_DET), jnp.uint32(0)
+        ) * jnp.ones((ngrp, 1, 1), jnp.uint32)
+        return resultants, dq
+
+    _SIM_CORE_CACHE[key_t] = core
+    return core
+
+
 def make_l1_fullcal(key, counts_rate_e, read_pattern, pack, frame_time=None,
                     crparam=None):
     """Counts rate (e/s, active region) -> L1 resultants in raw DN.
@@ -157,63 +232,33 @@ def make_l1_fullcal(key, counts_rate_e, read_pattern, pack, frame_time=None,
     act = slice(nb, nside - nb)
     ngrp = len(read_pattern)
 
-    k_reset, k_app, k_read = jax.random.split(key, 3)
-
-    gain_act = jnp.asarray(pack.gain[act, act])
-    # reset noise in electrons (sim_to_isim.py:194-215)
-    reset_e = (
-        jax.random.normal(k_reset, (na, na))
-        * jnp.asarray(pack.resetnoise[act, act])
-        * gain_act
+    arrs = {
+        "gain": pack.gain,
+        "gain_act": pack.gain[act, act],
+        "resetnoise_act": pack.resetnoise[act, act],
+        "read_sigma_act": pack.read_sigma[act, act],
+        "dark_slope_act": pack.dark_slope[act, act],
+        "lin_coefs": pack.lin_coefs,
+        "lin_smin": pack.lin_smin,
+        "lin_smax": pack.lin_smax,
+        "lin_sref": pack.lin_sref,
+        "lin_dq": pack.lin_dq,
+        "ipc_kernel": (
+            pack.ipc_kernel if pack.ipc_kernel is not None
+            else np.zeros((3, 3, na, na), np.float32)
+        ),
+        "biascorr": (
+            pack.biascorr[pack.biascorr.shape[0] - ngrp :]
+            if pack.biascorr is not None
+            else np.zeros((ngrp, na, na), np.float32)
+        ),
+        "biascorr_t0": np.float32(pack.biascorr_t0),
+    }
+    core = _l1_core_factory(
+        read_pattern, float(ft), pack.biascorr is not None,
+        pack.ipc_kernel is not None, crparam is not None,
     )
-    if pack.biascorr is not None:
-        reset_e = reset_e - (
-            pack.biascorr_t0
-            * jnp.asarray(pack.dark_slope[act, act])
-            / gain_act
-        )
-
-    lin = linearity.LinearityData(
-        jnp.asarray(pack.lin_coefs), jnp.asarray(pack.lin_smin),
-        jnp.asarray(pack.lin_smax), jnp.asarray(pack.lin_sref),
-        jnp.asarray(pack.lin_dq),
-    )
-    il = IL(
-        lin, jnp.asarray(pack.gain),
-        jnp.asarray(pack.ipc_kernel) if pack.ipc_kernel is not None else None,
-        start_e=reset_e,
-    )
-
-    lam_per_frame = jnp.clip(counts_rate_e * ft, 0.0, None)
-    crp = dict(crparam or {})
-    crp["frame_time"] = ft
-    res_e, crhits = _accumulate_resultants(
-        k_app, lam_per_frame, read_pattern, crp if crparam is not None else None
-    )
-
-    # IL forward model per resultant (electrons in, raw DN out)
-    resultants = jax.lax.map(il.apply, res_e)
-
-    # read noise / sqrt(N_j) (add_read_noise_to_resultants)
-    nvec = jnp.asarray([len(g) for g in read_pattern], jnp.float32)
-    rn = (
-        jax.random.normal(k_read, (ngrp, na, na))
-        * jnp.asarray(pack.read_sigma[act, act])[None]
-        / jnp.sqrt(nvec)[:, None, None]
-    )
-    resultants = resultants + rn
-
-    if pack.biascorr is not None:
-        de = pack.biascorr.shape[0] - ngrp
-        resultants = resultants + jnp.asarray(pack.biascorr[de:])
-
-    resultants = jnp.round(resultants)
-
-    # dq: mark CR-affected pixels (JUMP_DET) on all groups after the hit
-    dq = jnp.where(
-        (crhits > 0)[None], jnp.uint32(gdq.JUMP_DET), jnp.uint32(0)
-    ) * jnp.ones((ngrp, 1, 1), jnp.uint32)
-    return resultants, dq
+    return core(key, jnp.asarray(counts_rate_e, jnp.float32), arrs)
 
 
 def fill_in_refdata_and_1f(key, im, pack, read_pattern, nside, channelwidth,
@@ -231,65 +276,103 @@ def fill_in_refdata_and_1f(key, im, pack, read_pattern, nside, channelwidth,
     Returns (im_u16 (ngrp, nside, nside), amp33_u16 or None).
     """
     ngrp = im.shape[0]
+    do_amp33 = amp33 is not None and pack.amp33_valid
+    de = pack.dark_cube.shape[0] - ngrp
+    arrs = {
+        "im": im,
+        "read_sigma": pack.read_sigma,
+        "resetnoise": pack.resetnoise,
+        "dark_cube": pack.dark_cube[de:],
+        "amp33_med": (
+            pack.amp33_med if pack.amp33_med is not None
+            else np.zeros((nside, channelwidth), np.float32)
+        ),
+        "amp33_std": (
+            pack.amp33_std if pack.amp33_std is not None
+            else np.zeros((nside, channelwidth), np.float32)
+        ),
+    }
+    nvec = tuple(len(g) for g in read_pattern)
+    core = _fill_core_factory(
+        nvec, nside, channelwidth, nborder, bool(fill_in_banding),
+        bool(do_amp33), float(pack.c_pink), float(pack.u_pink),
+        float(pack.amp33_m_pink), float(pack.amp33_ru_pink),
+    )
+    im_u16, amp33_u16 = core(key, arrs)
+    return im_u16, (amp33_u16 if do_amp33 else None)
+
+
+_FILL_CORE_CACHE = {}
+
+
+def _fill_core_factory(nvec, nside, channelwidth, nborder, fill_in_banding,
+                       do_amp33, c_pink, u_pink, m_pink, ru_pink):
+    key_t = (nvec, nside, channelwidth, nborder, fill_in_banding, do_amp33,
+             c_pink, u_pink, m_pink, ru_pink)
+    if key_t in _FILL_CORE_CACHE:
+        return _FILL_CORE_CACHE[key_t]
+
+    ngrp = len(nvec)
     nb = nborder
     nch = nside // channelwidth
-    nvec = np.asarray([len(g) for g in read_pattern], np.float32)
+    nvec_np = np.asarray(nvec, np.float32)
 
-    k_white, k_reset, k_pink, k_a33 = jax.random.split(key, 4)
+    @jax.jit
+    def core(key, arrs):
+        k_white, k_reset, k_pink, k_a33 = jax.random.split(key, 4)
 
-    noise = (
-        jax.random.normal(k_white, (ngrp, nside, nside))
-        * jnp.asarray(pack.read_sigma)[None]
-        / jnp.sqrt(jnp.asarray(nvec))[:, None, None]
-    )
-    reset = jax.random.normal(k_reset, (nside, nside)) * jnp.asarray(
-        pack.resetnoise
-    )
-    noise = noise + reset[None]
-    de = pack.dark_cube.shape[0] - ngrp
-    noise = noise + jnp.asarray(pack.dark_cube[de:])
-
-    # active region <- data
-    noise = noise.at[:, nb:-nb, nb:-nb].set(
-        im[:, nb:-nb, nb:-nb].astype(noise.dtype)
-    )
-
-    amp33_out = None
-    if fill_in_banding:
-        # frames: per group, 1 common + nch unique (+1 amp33)
-        per_grp = 1 + nch + (1 if amp33 is not None else 0)
-        frames = pink.pink_frames(k_pink, ngrp * per_grp, nside, channelwidth)
-        frames = frames.reshape(ngrp, per_grp, nside, channelwidth)
-        common = frames[:, 0] * pack.c_pink
-        uniq = frames[:, 1 : 1 + nch] * pack.u_pink  # (ngrp, nch, ns, cw)
-        band = uniq + common[:, None]
-        # odd channels are read in the reverse x direction
-        flip = jnp.arange(nch) % 2 == 1
-        band = jnp.where(flip[None, :, None, None], band[:, :, :, ::-1], band)
-        band = (
-            band / jnp.sqrt(jnp.asarray(nvec))[:, None, None, None]
+        noise = (
+            jax.random.normal(k_white, (ngrp, nside, nside))
+            * arrs["read_sigma"][None]
+            / jnp.sqrt(jnp.asarray(nvec_np))[:, None, None]
         )
-        band = band.transpose(0, 2, 1, 3).reshape(ngrp, nside, nside)
-        noise = noise + band
+        reset = jax.random.normal(k_reset, (nside, nside)) * arrs["resetnoise"]
+        noise = noise + reset[None]
+        noise = noise + arrs["dark_cube"]
 
-        if amp33 is not None and pack.amp33_valid:
-            white = (
-                jax.random.normal(k_a33, (ngrp, nside, channelwidth))
-                * jnp.asarray(pack.amp33_std)[None]
-            )
-            pinkref = (
-                pack.amp33_ru_pink * frames[:, -1]
-                + pack.amp33_m_pink * common
-            )
-            amp33_out = jnp.asarray(pack.amp33_med)[None] + (
-                white + pinkref
-            ) / jnp.sqrt(jnp.asarray(nvec))[:, None, None]
-            amp33_out = jnp.clip(jnp.round(amp33_out), 0, 65535).astype(
-                jnp.uint16
-            )
+        # active region <- data
+        noise = noise.at[:, nb:-nb, nb:-nb].set(
+            arrs["im"][:, nb:-nb, nb:-nb].astype(noise.dtype)
+        )
 
-    im_u16 = jnp.clip(jnp.round(noise), 0, 2**16 - 1).astype(jnp.uint16)
-    return im_u16, amp33_out
+        amp33_out = jnp.zeros((ngrp, nside, channelwidth), jnp.uint16)
+        if fill_in_banding:
+            # frames: per group, 1 common + nch unique (+1 amp33)
+            per_grp = 1 + nch + (1 if do_amp33 else 0)
+            frames = pink.pink_frames(
+                k_pink, ngrp * per_grp, nside, channelwidth
+            )
+            frames = frames.reshape(ngrp, per_grp, nside, channelwidth)
+            common = frames[:, 0] * c_pink
+            uniq = frames[:, 1 : 1 + nch] * u_pink  # (ngrp, nch, ns, cw)
+            band = uniq + common[:, None]
+            # odd channels are read in the reverse x direction
+            flip = jnp.arange(nch) % 2 == 1
+            band = jnp.where(
+                flip[None, :, None, None], band[:, :, :, ::-1], band
+            )
+            band = band / jnp.sqrt(jnp.asarray(nvec_np))[:, None, None, None]
+            band = band.transpose(0, 2, 1, 3).reshape(ngrp, nside, nside)
+            noise = noise + band
+
+            if do_amp33:
+                white = (
+                    jax.random.normal(k_a33, (ngrp, nside, channelwidth))
+                    * arrs["amp33_std"][None]
+                )
+                pinkref = ru_pink * frames[:, -1] + m_pink * common
+                a33 = arrs["amp33_med"][None] + (
+                    white + pinkref
+                ) / jnp.sqrt(jnp.asarray(nvec_np))[:, None, None]
+                amp33_out = jnp.clip(jnp.round(a33), 0, 65535).astype(
+                    jnp.uint16
+                )
+
+        im_u16 = jnp.clip(jnp.round(noise), 0, 2**16 - 1).astype(jnp.uint16)
+        return im_u16, amp33_out
+
+    _FILL_CORE_CACHE[key_t] = core
+    return core
 
 
 class Image2D:
@@ -355,10 +438,10 @@ class Image2D:
         flat = pack.flat[act, act]
         if pack.ipc_kernel is not None:
             dark_e = np.asarray(
-                ipc.ipc_rev(jnp.asarray(dark_e), jnp.asarray(pack.ipc_kernel))
+                _ipc_rev_j(jnp.asarray(dark_e), jnp.asarray(pack.ipc_kernel))
             )
             flat = np.asarray(
-                ipc.ipc_rev(
+                _ipc_rev_j(
                     jnp.asarray(flat), jnp.asarray(pack.ipc_kernel),
                     gain=jnp.asarray(gain_act),
                 )
@@ -480,7 +563,7 @@ class Image2D:
             jnp.asarray(pack.lin_smax), jnp.asarray(pack.lin_sref),
             jnp.asarray(pack.lin_dq),
         )
-        lin_cube, _ = linearity.apply_linearity_cube(
+        lin_cube, _ = _lin_cube_j(
             jnp.asarray(np.asarray(l1["data"], np.float32)), lin,
             do_not_flag_first=exclude_first,
         )
@@ -560,7 +643,7 @@ class Image2D_from_L1(Image2D):
             jnp.asarray(pack.lin_smax), jnp.asarray(pack.lin_sref),
             jnp.asarray(pack.lin_dq),
         )
-        lin_cube, _ = linearity.apply_linearity_cube(
+        lin_cube, _ = _lin_cube_j(
             jnp.asarray(data), lin, do_not_flag_first=exclude_first
         )
         K = ramp.casertano_weights(u, meta, exclude_first)

@@ -29,7 +29,10 @@ from ..pipeline import l1_to_l2, sim_to_l1
 
 def run_many(config1, config2, nrun, outfile=None, seed_step=10):
     """Run ``nrun`` realizations; returns the (8, nside, nside) stack."""
+    import jax
     import jax.numpy as jnp
+
+    mask_j = jax.jit(PixelMask1.build)
 
     config1 = dict(config1)
     config1.setdefault("SEED", 100)
@@ -71,7 +74,7 @@ def run_many(config1, config2, nrun, outfile=None, seed_step=10):
         diffs[j] = (l1d[-1] - l1d[1])[act, act]
         images[j] = np.asarray(r["data"])
         errs[j] = np.asarray(r["err"])
-        w = ~np.asarray(PixelMask1.build(jnp.asarray(r["dq"])))
+        w = ~np.asarray(mask_j(jnp.asarray(r["dq"])))
         count += w
         s1 += np.where(w, images[j], 0.0)
         s2 += np.where(w, images[j] ** 2, 0.0)
