@@ -276,6 +276,7 @@ def fill_in_refdata_and_1f(key, im, pack, read_pattern, nside, channelwidth,
     Returns (im_u16 (ngrp, nside, nside), amp33_u16 or None).
     """
     ngrp = im.shape[0]
+    im_is_active = im.shape[-1] != nside
     do_amp33 = amp33 is not None and pack.amp33_valid
     de = pack.dark_cube.shape[0] - ngrp
     arrs = {
@@ -297,6 +298,7 @@ def fill_in_refdata_and_1f(key, im, pack, read_pattern, nside, channelwidth,
         nvec, nside, channelwidth, nborder, bool(fill_in_banding),
         bool(do_amp33), float(pack.c_pink), float(pack.u_pink),
         float(pack.amp33_m_pink), float(pack.amp33_ru_pink),
+        im_is_active,
     )
     im_u16, amp33_u16 = core(key, arrs)
     return im_u16, (amp33_u16 if do_amp33 else None)
@@ -306,9 +308,10 @@ _FILL_CORE_CACHE = {}
 
 
 def _fill_core_factory(nvec, nside, channelwidth, nborder, fill_in_banding,
-                       do_amp33, c_pink, u_pink, m_pink, ru_pink):
+                       do_amp33, c_pink, u_pink, m_pink, ru_pink,
+                       im_is_active=False):
     key_t = (nvec, nside, channelwidth, nborder, fill_in_banding, do_amp33,
-             c_pink, u_pink, m_pink, ru_pink)
+             c_pink, u_pink, m_pink, ru_pink, im_is_active)
     if key_t in _FILL_CORE_CACHE:
         return _FILL_CORE_CACHE[key_t]
 
@@ -331,9 +334,11 @@ def _fill_core_factory(nvec, nside, channelwidth, nborder, fill_in_banding,
         noise = noise + arrs["dark_cube"]
 
         # active region <- data
-        noise = noise.at[:, nb:-nb, nb:-nb].set(
-            arrs["im"][:, nb:-nb, nb:-nb].astype(noise.dtype)
+        src = (
+            arrs["im"] if im_is_active
+            else arrs["im"][:, nb:-nb, nb:-nb]
         )
+        noise = noise.at[:, nb:-nb, nb:-nb].set(src.astype(noise.dtype))
 
         amp33_out = jnp.zeros((ngrp, nside, channelwidth), jnp.uint16)
         if fill_in_banding:
@@ -465,14 +470,11 @@ class Image2D:
             k_l1, jnp.asarray(rate_e, jnp.float32), use_read_pattern, pack,
             frame_time=ft, crparam={},
         )
-        full = jnp.zeros(
-            (len(use_read_pattern), nside, nside), jnp.float32
-        ).at[:, act, act].set(resultants)
 
         no_amp33 = bool(caldir.get("NO_AMP33", False))
         cw = pack.amp33_med.shape[1] if pack.amp33_valid else max(nside // 32, 4)
         im_u16, amp33_u16 = fill_in_refdata_and_1f(
-            k_fill, full, pack, use_read_pattern, nside, cw,
+            k_fill, resultants, pack, use_read_pattern, nside, cw,
             fill_in_banding=True,
             amp33=(np.zeros(1) if (pack.amp33_valid and not no_amp33) else None),
             nborder=nb,
