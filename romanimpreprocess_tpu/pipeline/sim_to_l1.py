@@ -136,6 +136,26 @@ def _accumulate_resultants(key, lam_per_read, read_pattern, crparam):
             )
             inc = inc + jnp.where(hit, q, 0.0).astype(jnp.float32)
             crh = crh + hit.astype(jnp.int32)
+            # track extent: a CR crosses ~3 pixels (romanisim models
+            # secant tracks; the reference envelope of 10k-30k flagged
+            # pixels per exposure implies multiplicity ~3) — deposit
+            # scaled charges in the two neighbors along a random axis
+            horiz = jax.random.bernoulli(
+                jax.random.fold_in(k, 3), 0.5, (na, na)
+            )
+            fr = jax.random.uniform(
+                jax.random.fold_in(k, 4), (2, na, na), minval=0.3, maxval=1.0
+            )
+            for s_idx, sgn in enumerate((-1, 1)):
+                dep = jnp.where(hit, q * fr[s_idx], 0.0).astype(jnp.float32)
+                dep_h = jnp.where(horiz, dep, 0.0)
+                dep_v = jnp.where(horiz, 0.0, dep)
+                shifted = (
+                    jnp.roll(dep_h, sgn, axis=1)
+                    + jnp.roll(dep_v, sgn, axis=0)
+                )
+                inc = inc + shifted
+                crh = crh + (shifted > 0).astype(jnp.int32)
         cum = cum + inc
         g = g_of_r_d[r]
         res = res.at[g].add(cum * wgt_d[r], mode="drop")
