@@ -58,6 +58,9 @@ def main():
     t_hi = time.perf_counter() - t0
     dt = (t_hi - t_lo) / (n_hi - n_lo)
 
+    # --- secondary: sim -> L1 synthesis (BASELINE config #1) ---
+    dt_sim = _bench_sim(jax, jnp, functools, benchlib, nside)
+
     npix = (nside - 8) ** 2
     budget_s = 8.0 / 18.0  # per-chip share of the 18-SCA < 1 s north star
     result = {
@@ -69,9 +72,78 @@ def main():
             "device": str(jax.devices()[0]),
             "mpix_per_s": round(npix / dt / 1e6, 1),
             "fpa_18sca_proj_s_on_8chip": round(dt * 18 / 8, 3),
+            "sim_l1_synthesis_ms": round(dt_sim * 1e3, 3),
         },
     }
     print(json.dumps(result))
+
+
+def _bench_sim(jax, jnp, functools, benchlib, nside):
+    """Time the jitted L1-synthesis core (Poisson/CR accumulation, IL
+    forward model with the 24-iter bisection, read noise)."""
+    from romanimpreprocess_tpu.io.calfiles import CalPack
+    from romanimpreprocess_tpu.pipeline import sim_to_l1
+
+    cal = benchlib.synth_cal_arrays(nside, benchlib.READ_PATTERN_DEFAULT)
+    pack = CalPack(
+        dark_cube=cal["dark_cube"], dark_slope=cal["dark_slope"],
+        gain=cal["gain"], read_sigma=cal["read_sigma"],
+        resetnoise=cal["resetnoise"], ipc_kernel=cal["ipc_kernel"],
+        lin_coefs=cal["lin_coefs"], lin_smin=cal["lin_smin"],
+        lin_smax=cal["lin_smax"], lin_sref=cal["lin_sref"],
+        lin_dq=cal["lin_dq"], flat=cal["flat"],
+        saturation=cal["saturation"], saturation_dq=cal["saturation_dq"],
+        amp33_med=cal["amp33_med"],
+    )
+    na = nside - 8
+    nb = 4
+    act = slice(nb, nside - nb)
+    rp = benchlib.READ_PATTERN_DEFAULT
+    ngrp = len(rp)
+    # same array bundle make_l1_fullcal builds, passed as jit ARGUMENTS
+    # (tracing make_l1_fullcal directly would embed these as constants
+    # and blow the axon remote-compile payload limit)
+    arrs = {
+        "gain": pack.gain,
+        "gain_act": pack.gain[act, act],
+        "resetnoise_act": pack.resetnoise[act, act],
+        "read_sigma_act": pack.read_sigma[act, act],
+        "dark_slope_act": pack.dark_slope[act, act],
+        "lin_coefs": pack.lin_coefs,
+        "lin_smin": pack.lin_smin,
+        "lin_smax": pack.lin_smax,
+        "lin_sref": pack.lin_sref,
+        "lin_dq": pack.lin_dq,
+        "ipc_kernel": pack.ipc_kernel,
+        "biascorr": np.zeros((ngrp, na, na), np.float32),
+        "biascorr_t0": np.float32(0.0),
+    }
+    core = sim_to_l1._l1_core_factory(rp, 3.04, False, True, True)
+
+    @functools.partial(jax.jit, static_argnums=3)
+    def chained(key, rate0, arrs_d, n):
+        def body(carry, _):
+            key, r = carry
+            key = jax.random.fold_in(key, 0)
+            res, dq = core(key, r, arrs_d)
+            r2 = r + (res[0, :1, :1].sum() * 0)
+            return (key, r2), res[0, 0, 0]
+
+        _, ss = jax.lax.scan(body, (key, rate0), None, length=n)
+        return ss
+
+    key = jax.random.PRNGKey(0)
+    r0 = jnp.full((na, na), 3.0, jnp.float32)
+    arrs = {k: jax.device_put(jnp.asarray(v)) for k, v in arrs.items()}
+    jax.device_get(chained(key, r0, arrs, 1))
+    jax.device_get(chained(key, r0, arrs, 3))
+    t0 = time.perf_counter()
+    jax.device_get(chained(key, r0, arrs, 1))
+    t_lo = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    jax.device_get(chained(key, r0, arrs, 3))
+    t_hi = time.perf_counter() - t0
+    return (t_hi - t_lo) / 2
 
 
 if __name__ == "__main__":
