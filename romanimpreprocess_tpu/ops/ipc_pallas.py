@@ -134,41 +134,27 @@ def ipc_rev2_cube(cube, kernel, gain=None, th=16, interpret=False):
 
 
 def _ipc_kernel_blocked(ya, yc, yb, ka, kc, kb, out_ref, *, th):
-    """Blocked variant: the 2-row halos arrive as small pre-sliced side
-    inputs (above/below) around the center block — standard pipelined
-    BlockSpecs only, ~1.25x read amplification."""
-    y = jnp.concatenate([ya[0], yc[...], yb[0]], axis=0)  # (th+4, G, W)
-    k = jnp.concatenate([ka[0], kc[...], kb[0]], axis=0)  # (th+4, 9, W)
-    a = _apply_k_slab(y, k, th + 2)
-    b = _apply_k_slab(a, k[1 : th + 3], th)
-    out_ref[...] = 3.0 * y[2 : th + 2] - 3.0 * a[1 : th + 1] + b
-
-
-def _halo_slices(xp, th, n_tiles):
-    """(n_tiles, 2, ...) arrays of the 2 rows above / below each tile.
-
-    ``xp`` has shape (n_tiles*th, ...) (science rows from 0).
-    above[i] = xp[i*th-2 : i*th] (zeros for i=0);
-    below[i] = xp[(i+1)*th : (i+1)*th+2] (zeros at the end).
-    """
-    pad_top = jnp.pad(xp, ((2, 0),) + ((0, 0),) * (xp.ndim - 1))
-    above = pad_top[: n_tiles * th].reshape(
-        (n_tiles, th) + xp.shape[1:]
-    )[:, :2]
-    pad_bot = jnp.pad(xp, ((0, th),) + ((0, 0),) * (xp.ndim - 1))
-    below = pad_bot[th : th + n_tiles * th].reshape(
-        (n_tiles, th) + xp.shape[1:]
-    )[:, :2]
-    return above, below
+    """Blocked variant: the row halo comes from three shifted BlockSpec
+    windows (above/center/below) instead of manual DMA."""
+    y = jnp.concatenate([ya[...], yc[...], yb[...]], axis=0)  # (3th, G, W)
+    k = jnp.concatenate([ka[...], kc[...], kb[...]], axis=0)  # (3th, 9, W)
+    # output science rows = slab rows [th, 2th); reuse the slab math with
+    # a slab offset of th-2 (a needs rows [th-1, 2th+1))
+    y2 = y[th - 2 : 2 * th + 2]
+    k2 = k[th - 2 : 2 * th + 2]
+    a = _apply_k_slab(y2, k2, th + 2)
+    b = _apply_k_slab(a, k2[1 : th + 3], th)
+    out_ref[...] = 3.0 * y2[2 : th + 2] - 3.0 * a[1 : th + 1] + b
 
 
 @functools.partial(jax.jit, static_argnames=("th", "interpret", "vmem_mb"))
 def ipc_rev2_cube_blocked(cube, kernel, gain=None, th=16, interpret=False,
                           vmem_mb=64):
-    """Order-2 IPC inverse via pipelined blocks + pre-sliced row halos.
+    """Order-2 IPC inverse via shifted-BlockSpec halos (no manual DMA).
 
-    No manual DMA (robust on backends where DMA kernels are
-    problematic); the cube and the nine kernel planes are read ~1.25x.
+    Reads the cube and kernel three times each (the halo windows) but
+    uses only the standard pipelined block machinery — a fallback for
+    backends where manual-DMA kernels are problematic.
     """
     ngrp, na, _ = cube.shape
     y = cube if gain is None else cube * gain
@@ -177,34 +163,29 @@ def ipc_rev2_cube_blocked(cube, kernel, gain=None, th=16, interpret=False,
     width = ((na + 4 + 127) // 128) * 128
     n_tiles = rows_out // th
 
-    yp = jnp.zeros((rows_out, ngrp, width), dtype=jnp.float32)
-    yp = yp.at[:na, :, 2 : 2 + na].set(y.transpose(1, 0, 2))
-    kp = jnp.zeros((rows_out, 9, width), dtype=jnp.float32)
-    kp = kp.at[:na, :, 2 : 2 + na].set(
+    # th leading pad rows, science at [th, th+na), pad to (n_tiles+2)*th
+    rows_in = (n_tiles + 2) * th
+    yp = jnp.zeros((rows_in, ngrp, width), dtype=jnp.float32)
+    yp = yp.at[th : th + na, :, 2 : 2 + na].set(y.transpose(1, 0, 2))
+    kp = jnp.zeros((rows_in, 9, width), dtype=jnp.float32)
+    kp = kp.at[th : th + na, :, 2 : 2 + na].set(
         kernel.reshape(9, na, na).transpose(1, 0, 2)
     )
-    y_above, y_below = _halo_slices(yp, th, n_tiles)
-    k_above, k_below = _halo_slices(kp, th, n_tiles)
 
-    def halo_spec(nplanes):
-        return pl.BlockSpec(
-            (1, 2, nplanes, width), lambda i: (i, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        )
-
+    yspec = [
+        pl.BlockSpec((th, ngrp, width), (lambda i, d=d: (i + d, 0, 0)),
+                     memory_space=pltpu.VMEM)
+        for d in (0, 1, 2)
+    ]
+    kspec = [
+        pl.BlockSpec((th, 9, width), (lambda i, d=d: (i + d, 0, 0)),
+                     memory_space=pltpu.VMEM)
+        for d in (0, 1, 2)
+    ]
     out = pl.pallas_call(
         functools.partial(_ipc_kernel_blocked, th=th),
         grid=(n_tiles,),
-        in_specs=[
-            halo_spec(ngrp),
-            pl.BlockSpec((th, ngrp, width), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            halo_spec(ngrp),
-            halo_spec(9),
-            pl.BlockSpec((th, 9, width), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            halo_spec(9),
-        ],
+        in_specs=yspec + kspec,
         out_specs=pl.BlockSpec(
             (th, ngrp, width), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
@@ -214,7 +195,7 @@ def ipc_rev2_cube_blocked(cube, kernel, gain=None, th=16, interpret=False,
             else pltpu.CompilerParams(vmem_limit_bytes=vmem_mb * 1024 * 1024)
         ),
         interpret=interpret,
-    )(y_above, yp, y_below, k_above, kp, k_below)
+    )(yp, yp, yp, kp, kp, kp)
 
     res = out[:na, :, 2 : 2 + na].transpose(1, 0, 2)
     if gain is not None:
