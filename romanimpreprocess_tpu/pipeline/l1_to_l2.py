@@ -30,6 +30,7 @@ from ..dqflags import group as gdq
 from ..dqflags import pixel
 from ..io import asdf_lite, calfiles, fits_lite
 from ..ops import ipc, ipc_pallas, likely, linearity, mask, ramp, refsub, saturation, sky, wcsutils
+from ..utils import typefix
 from ..utils.processlog import ProcessLog
 from . import oututils
 
@@ -337,6 +338,7 @@ def calibrateimage(config, verbose=False, return_arrays=False):
     l1 = asdf_lite.open(config["IN"])["roman"]
     area_factor = area_factor_from_config(config, pack.nside)
     tree, out = calibrate_tree(l1, config, pack, area_factor)
+    typefix.fix(tree)  # schema-compat dummy fields (reference writes them)
     asdf_lite.AsdfFile(tree).write_to(config["OUT"])
 
     if config.get("FITSOUT", False):
