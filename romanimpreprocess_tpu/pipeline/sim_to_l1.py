@@ -105,67 +105,59 @@ def _accumulate_resultants(key, lam_per_read, read_pattern, crparam):
     ngrp = len(read_pattern)
     na = lam_per_read.shape[0]
 
-    # read -> group membership and 1/N weights (host constants)
-    g_of_r = np.full(nreads, -1, np.int32)
-    wgt = np.zeros(nreads, np.float32)
+    # resultant_j = mean_{r in group j} cumsum(inc)_r
+    #             = sum_r T[j, r] * inc_r
+    # with T[j, r] = (# reads in group j at index >= r) / N_j — the
+    # cumulative-membership contraction (cf. galpoisson.find_tilnus).
+    # One batched Poisson draw + one MXU matmul replaces the
+    # reference's sequential per-read accumulation.
+    T = np.zeros((ngrp, nreads), np.float64)
     for j, grp in enumerate(read_pattern):
         for r in grp:
-            g_of_r[r] = j
-            wgt[r] = 1.0 / len(grp)
-    g_of_r_d = jnp.asarray(np.where(g_of_r < 0, ngrp, g_of_r))  # ngrp = trash row
-    wgt_d = jnp.asarray(wgt)
+            T[j, : r + 1] += 1.0 / len(grp)
+    T[:, 0] = 0.0  # read 0 is at t=0: no charge collected before it
+    T_d = jnp.asarray(T, jnp.float32)
 
     do_cr = crparam is not None
-    p_hit = CR_RATE_PER_PIX_S * crparam.get("frame_time", pars.read_time) if do_cr else 0.0
+    k_poi, k_hit, k_q, k_dir, k_fr = jax.random.split(key, 5)
 
-    def body(r, carry):
-        cum, res, crh = carry
-        k = jax.random.fold_in(key, r)
-        inc = jax.random.poisson(
-            jax.random.fold_in(k, 0), lam_per_read, dtype=jnp.int32
-        ).astype(jnp.float32)
-        # read 0 happens at t=0 (no accumulation before the first frame)
-        inc = jnp.where(r == 0, 0.0, inc)
-        if do_cr:
-            hit = jax.random.bernoulli(jax.random.fold_in(k, 1), p_hit, (na, na))
-            hit = hit & (r > 0)
-            q = jnp.exp(
-                CR_CHARGE_MU
-                + CR_CHARGE_SIGMA
-                * jax.random.normal(jax.random.fold_in(k, 2), (na, na))
-            )
-            inc = inc + jnp.where(hit, q, 0.0).astype(jnp.float32)
-            crh = crh + hit.astype(jnp.int32)
-            # track extent: a CR crosses ~3 pixels (romanisim models
-            # secant tracks; the reference envelope of 10k-30k flagged
-            # pixels per exposure implies multiplicity ~3) — deposit
-            # scaled charges in the two neighbors along a random axis
-            horiz = jax.random.bernoulli(
-                jax.random.fold_in(k, 3), 0.5, (na, na)
-            )
-            fr = jax.random.uniform(
-                jax.random.fold_in(k, 4), (2, na, na), minval=0.3, maxval=1.0
-            )
-            for s_idx, sgn in enumerate((-1, 1)):
-                dep = jnp.where(hit, q * fr[s_idx], 0.0).astype(jnp.float32)
-                dep_h = jnp.where(horiz, dep, 0.0)
-                dep_v = jnp.where(horiz, 0.0, dep)
-                shifted = (
-                    jnp.roll(dep_h, sgn, axis=1)
-                    + jnp.roll(dep_v, sgn, axis=0)
-                )
-                inc = inc + shifted
-                crh = crh + (shifted > 0).astype(jnp.int32)
-        cum = cum + inc
-        g = g_of_r_d[r]
-        res = res.at[g].add(cum * wgt_d[r], mode="drop")
-        return cum, res, crh
+    incs = jax.random.poisson(
+        k_poi, lam_per_read, shape=(nreads, na, na), dtype=jnp.int32
+    ).astype(jnp.float32)
 
-    cum0 = jnp.zeros((na, na), jnp.float32)
-    res0 = jnp.zeros((ngrp + 1, na, na), jnp.float32)  # +1 trash row
-    crh0 = jnp.zeros((na, na), jnp.int32)
-    _, res, crh = jax.lax.fori_loop(0, nreads, body, (cum0, res0, crh0))
-    return res[:ngrp], crh
+    crh = jnp.zeros((na, na), jnp.int32)
+    if do_cr:
+        p_hit = CR_RATE_PER_PIX_S * crparam.get("frame_time", pars.read_time)
+        hit = jax.random.bernoulli(k_hit, p_hit, (nreads, na, na))
+        hit = hit.at[0].set(False)
+        q = jnp.exp(
+            CR_CHARGE_MU
+            + CR_CHARGE_SIGMA * jax.random.normal(k_q, (nreads, na, na))
+        )
+        incs = incs + jnp.where(hit, q, 0.0).astype(jnp.float32)
+        crh = crh + jnp.sum(hit, axis=0).astype(jnp.int32)
+        # track extent: a CR crosses ~3 pixels (romanisim models secant
+        # tracks; the reference envelope of 10k-30k flagged pixels per
+        # exposure implies multiplicity ~3) — deposit scaled charges in
+        # the two neighbors along a random axis
+        horiz = jax.random.bernoulli(k_dir, 0.5, (nreads, na, na))
+        fr = jax.random.uniform(
+            k_fr, (2, nreads, na, na), minval=0.3, maxval=1.0
+        )
+        for s_idx, sgn in enumerate((-1, 1)):
+            dep = jnp.where(hit, q * fr[s_idx], 0.0).astype(jnp.float32)
+            dep_h = jnp.where(horiz, dep, 0.0)
+            dep_v = jnp.where(horiz, 0.0, dep)
+            shifted = (
+                jnp.roll(dep_h, sgn, axis=2) + jnp.roll(dep_v, sgn, axis=1)
+            )
+            incs = incs + shifted
+            crh = crh + jnp.sum(shifted > 0, axis=0).astype(jnp.int32)
+
+    res = jnp.einsum(
+        "jr,ryx->jyx", T_d, incs, preferred_element_type=jnp.float32
+    )
+    return res, crh
 
 
 _SIM_CORE_CACHE = {}
