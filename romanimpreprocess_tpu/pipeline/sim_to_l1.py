@@ -75,8 +75,11 @@ class IL:
         self.start_e = start_e  # scalar or (na, na) electrons
 
     def apply(self, counts_e):
-        """Electrons (active region) -> raw DN (active region)."""
-        nb = (self.gain.shape[0] - counts_e.shape[0]) // 2
+        """Electrons (active region) -> raw DN (active region).
+
+        Accepts a 2-D frame or a (ngrp, na, na) batch (all device ops
+        broadcast over the leading axis)."""
+        nb = (self.gain.shape[-1] - counts_e.shape[-1]) // 2
         ny = self.gain.shape[0]
         act = slice(nb, ny - nb) if nb else slice(None)
         x = counts_e + self.start_e
@@ -204,8 +207,8 @@ def _l1_core_factory(read_pattern, ft, has_biascorr, has_ipc, do_cr):
             {"frame_time": ft} if do_cr else None,
         )
 
-        # IL forward model per resultant (electrons in, raw DN out)
-        resultants = jax.lax.map(il.apply, res_e)
+        # IL forward model, batched over resultants (electrons -> raw DN)
+        resultants = il.apply(res_e)
 
         # read noise / sqrt(N_j) (add_read_noise_to_resultants)
         rn = (
