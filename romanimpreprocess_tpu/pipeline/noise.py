@@ -36,7 +36,7 @@ from .. import pars
 from ..config import layer_subscript, load_config
 from ..galpoisson import draw_from_pearson, get_tilde_nus
 from ..io import asdf_lite, calfiles, fits_lite
-from ..ops import sky
+from ..ops import rand, sky
 from . import l1_to_l2, sim_to_l1
 
 _medfit_j = jax.jit(sky.medfit, static_argnames=("N", "order"))
@@ -88,9 +88,7 @@ def _poisson_resample_layer(key, e_per_slice, gain, read_pattern, weightvecs,
         def body(r, carry):
             cum, dres = carry
             kk = jax.random.fold_in(k, r)
-            sample = (
-                jax.random.poisson(kk, e_exp).astype(jnp.float32) - e_exp
-            ) / gain_d
+            sample = (rand.poisson(kk, e_exp) - e_exp) / gain_d
             cum = cum + sample
             dres = dres.at[g_of_r_d[r]].add(cum * wgt_d[r], mode="drop")
             return cum, dres

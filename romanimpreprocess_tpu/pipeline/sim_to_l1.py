@@ -36,7 +36,7 @@ from .. import pars
 from ..config import load_config, reads_to_pattern
 from ..dqflags import group as gdq
 from ..io import asdf_lite, calfiles, fits_lite
-from ..ops import ipc, linearity, pink, ramp, wcsutils
+from ..ops import ipc, linearity, pink, ramp, rand, wcsutils
 from .. import __version__
 
 # jitted wrappers for host-driven one-off device calls (eager dispatch
@@ -124,9 +124,7 @@ def _accumulate_resultants(key, lam_per_read, read_pattern, crparam):
     do_cr = crparam is not None
     k_poi, k_hit, k_q, k_dir, k_fr = jax.random.split(key, 5)
 
-    incs = jax.random.poisson(
-        k_poi, lam_per_read, shape=(nreads, na, na), dtype=jnp.int32
-    ).astype(jnp.float32)
+    incs = rand.poisson(k_poi, lam_per_read, shape=(nreads, na, na))
 
     crh = jnp.zeros((na, na), jnp.int32)
     if do_cr:

@@ -247,3 +247,27 @@ def test_block_nanmedian_bit_exact():
         warnings.simplefilter("ignore")
         want = np.nanmedian(arr.reshape(2, 8, 2, 8), axis=(1, 3))
     assert np.array_equal(got, want, equal_nan=True)
+
+
+def test_custom_poisson_distribution():
+    """The fixed-trip-count Poisson sampler matches the exact pmf
+    (chi-square) across the small/PTRS regimes."""
+    from scipy import stats
+
+    from romanimpreprocess_tpu.ops import rand
+
+    for lam in (0.5, 5.0, 30.0, 900.0):
+        n = 200_000
+        x = np.asarray(
+            rand.poisson(jax.random.PRNGKey(int(lam) + 3), jnp.full((n,), lam))
+        )
+        assert (x >= 0).all()
+        ks = np.arange(
+            max(0, int(lam - 6 * np.sqrt(lam))), int(lam + 6 * np.sqrt(lam)) + 2
+        )
+        pmf = stats.poisson.pmf(ks, lam)
+        sel = pmf * n > 10
+        obs = np.array([(x == k).sum() for k in ks[sel]])
+        exp = pmf[sel] * n
+        chi2 = ((obs - exp) ** 2 / exp).sum() / max(sel.sum() - 1, 1)
+        assert chi2 < 2.5, (lam, chi2)
