@@ -262,7 +262,10 @@ def ramp_fit_likely(data, rdq, pdq, plan, gain, read_sigma, nborder=4):
     # (cf. gen_cal_image.py:671-672)
     end_idx = jnp.clip(jnp.minimum(firstsat, jump_grp + 1) - 1,
                        start + 1, ngrp - 1)
-    last = jnp.take_along_axis(data, end_idx[None], axis=0)[0]
+    # select-chain instead of a 16M-index gather over the group axis
+    last = data[start + 1]
+    for e in range(start + 2, ngrp):
+        last = jnp.where(end_idx == e, data[e], last)
     inv_dt = np.zeros(ngrp, np.float32)
     for e in range(start + 1, ngrp):
         inv_dt[e] = 1.0 / (plan.tbar[e] - plan.tbar[start])
