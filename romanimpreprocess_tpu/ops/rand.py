@@ -72,21 +72,47 @@ def _poisson_ptrs(key, lam, shape):
     return jnp.where(filled, out, fallback)
 
 
+#: above this many elements, chunk the draw over the leading axis —
+#: both branches evaluate masked-dense, so an unchunked full-frame
+#: multi-read draw holds ~10 live (nreads, na, na) intermediates
+#: (OOMs 16 GB HBM at (14, 4088, 4088)); each leading slice is still
+#: tens of MPix, plenty to saturate the VPU.
+CHUNK_ELEMS = 1 << 27
+
+
+def _poisson_masked(key, lam_b):
+    k_small, k_big = jax.random.split(key)
+    u = jax.random.uniform(k_small, lam_b.shape)
+    small = _poisson_small(u, jnp.minimum(lam_b, SMALL_LAM_MAX))
+    big = _poisson_ptrs(
+        k_big, jnp.maximum(lam_b, SMALL_LAM_MAX + 1e-3), lam_b.shape
+    )
+    return jnp.where(lam_b <= SMALL_LAM_MAX, small, big)
+
+
 @functools.partial(jax.jit, static_argnames=("shape",))
 def poisson(key, lam, shape=None):
     """Poisson deviates, float32 counts.
 
     ``lam`` broadcasts to ``shape``; exact for lam <= 10, PTRS-exact
-    above (with a vanishing moment-matched fallback).
+    above (with a vanishing moment-matched fallback).  Large draws are
+    chunked over the leading axis (distinct per-slice keys), bounding
+    peak HBM at ~1 output buffer + 1 slice of intermediates.
     """
     lam = jnp.asarray(lam, jnp.float32)
     if shape is None:
         shape = lam.shape
-    lam_b = jnp.broadcast_to(lam, shape)
-    k_small, k_big = jax.random.split(key)
-    u = jax.random.uniform(k_small, shape)
-    lam_s = jnp.minimum(lam_b, SMALL_LAM_MAX)
-    small = _poisson_small(u, lam_s)
-    lam_g = jnp.maximum(lam_b, SMALL_LAM_MAX + 1e-3)
-    big = _poisson_ptrs(k_big, lam_g, shape)
-    return jnp.where(lam_b <= SMALL_LAM_MAX, small, big)
+    size = 1
+    for s in shape:
+        size *= s
+    if size > CHUNK_ELEMS and len(shape) >= 2 and shape[0] > 1:
+        keys = jax.random.split(key, shape[0])
+        if lam.shape == tuple(shape):
+            return jax.lax.map(
+                lambda kl: _poisson_masked(kl[0], kl[1]), (keys, lam)
+            )
+        lam_inner = jnp.broadcast_to(lam, shape[1:])
+        return jax.lax.map(
+            lambda k: _poisson_masked(k, lam_inner), keys
+        )
+    return _poisson_masked(key, jnp.broadcast_to(lam, shape))

@@ -128,32 +128,47 @@ def _accumulate_resultants(key, lam_per_read, read_pattern, crparam):
 
     crh = jnp.zeros((na, na), jnp.int32)
     if do_cr:
-        p_hit = CR_RATE_PER_PIX_S * crparam.get("frame_time", pars.read_time)
-        hit = jax.random.bernoulli(k_hit, p_hit, (nreads, na, na))
-        hit = hit.at[0].set(False)
-        q = jnp.exp(
-            CR_CHARGE_MU
-            + CR_CHARGE_SIGMA * jax.random.normal(k_q, (nreads, na, na))
-        )
-        incs = incs + jnp.where(hit, q, 0.0).astype(jnp.float32)
-        crh = crh + jnp.sum(hit, axis=0).astype(jnp.int32)
+        # CR deposits loop over reads with 2-D temporaries only (the
+        # batched (nreads, na, na) formulation peaks ~6 GB of HBM);
         # track extent: a CR crosses ~3 pixels (romanisim models secant
         # tracks; the reference envelope of 10k-30k flagged pixels per
-        # exposure implies multiplicity ~3) — deposit scaled charges in
-        # the two neighbors along a random axis
-        horiz = jax.random.bernoulli(k_dir, 0.5, (nreads, na, na))
-        fr = jax.random.uniform(
-            k_fr, (2, nreads, na, na), minval=0.3, maxval=1.0
-        )
-        for s_idx, sgn in enumerate((-1, 1)):
-            dep = jnp.where(hit, q * fr[s_idx], 0.0).astype(jnp.float32)
-            dep_h = jnp.where(horiz, dep, 0.0)
-            dep_v = jnp.where(horiz, 0.0, dep)
-            shifted = (
-                jnp.roll(dep_h, sgn, axis=2) + jnp.roll(dep_v, sgn, axis=1)
+        # exposure implies multiplicity ~3) — scaled deposits in the
+        # two neighbors along a random axis.
+        p_hit = CR_RATE_PER_PIX_S * crparam.get("frame_time", pars.read_time)
+
+        def cr_body(r, carry):
+            incs, crh = carry
+            kr = jax.random.fold_in(k_hit, r)
+            hit = jax.random.bernoulli(
+                jax.random.fold_in(kr, 0), p_hit, (na, na)
+            ) & (r > 0)
+            q = jnp.exp(
+                CR_CHARGE_MU
+                + CR_CHARGE_SIGMA
+                * jax.random.normal(jax.random.fold_in(kr, 1), (na, na))
             )
-            incs = incs + shifted
-            crh = crh + jnp.sum(shifted > 0, axis=0).astype(jnp.int32)
+            dep = jnp.where(hit, q, 0.0).astype(jnp.float32)
+            crh = crh + hit.astype(jnp.int32)
+            horiz = jax.random.bernoulli(
+                jax.random.fold_in(kr, 2), 0.5, (na, na)
+            )
+            fr = jax.random.uniform(
+                jax.random.fold_in(kr, 3), (2, na, na), minval=0.3, maxval=1.0
+            )
+            for s_idx, sgn in enumerate((-1, 1)):
+                side = jnp.where(hit, q * fr[s_idx], 0.0).astype(jnp.float32)
+                side_h = jnp.where(horiz, side, 0.0)
+                side_v = jnp.where(horiz, 0.0, side)
+                shifted = (
+                    jnp.roll(side_h, sgn, axis=1)
+                    + jnp.roll(side_v, sgn, axis=0)
+                )
+                dep = dep + shifted
+                crh = crh + (shifted > 0).astype(jnp.int32)
+            incs = incs.at[r].add(dep)
+            return incs, crh
+
+        incs, crh = jax.lax.fori_loop(0, nreads, cr_body, (incs, crh))
 
     res = jnp.einsum(
         "jr,ryx->jyx", T_d, incs, preferred_element_type=jnp.float32

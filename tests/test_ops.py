@@ -271,3 +271,25 @@ def test_custom_poisson_distribution():
         exp = pmf[sel] * n
         chi2 = ((obs - exp) ** 2 / exp).sum() / max(sel.sum() - 1, 1)
         assert chi2 < 2.5, (lam, chi2)
+
+
+def test_custom_poisson_chunked(monkeypatch):
+    """The leading-axis-chunked path (large draws) matches moments and
+    draws distinct slices per leading index."""
+    from romanimpreprocess_tpu.ops import rand
+
+    monkeypatch.setattr(rand, "CHUNK_ELEMS", 1000)
+    key = jax.random.PRNGKey(11)
+    # broadcast-lam path (the sim accumulator's shape pattern)
+    lam = jnp.full((64, 63), 4.0)
+    x = np.asarray(rand.poisson(key, lam, shape=(6, 64, 63)))
+    assert x.shape == (6, 64, 63)
+    assert not np.array_equal(x[0], x[1])
+    m = x.mean()
+    assert abs(m - 4.0) < 0.05, m
+    assert abs(x.var() - 4.0) < 0.1
+    # full-lam path (per-slice rates vary)
+    lam3 = jnp.stack([jnp.full((64, 63), v) for v in (1.0, 50.0, 300.0)])
+    y = np.asarray(rand.poisson(jax.random.PRNGKey(12), lam3))
+    for i, v in enumerate((1.0, 50.0, 300.0)):
+        assert abs(y[i].mean() - v) < 4 * np.sqrt(v / (64 * 63)) + 0.05
