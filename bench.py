@@ -82,6 +82,7 @@ def _bench_sim(jax, jnp, functools, benchlib, nside):
     """Time the jitted L1-synthesis core (Poisson/CR accumulation, IL
     forward model with the 24-iter bisection, read noise)."""
     from romanimpreprocess_tpu.io.calfiles import CalPack
+    from romanimpreprocess_tpu.ops import rand
     from romanimpreprocess_tpu.pipeline import sim_to_l1
 
     cal = benchlib.synth_cal_arrays(nside, benchlib.READ_PATTERN_DEFAULT)
@@ -132,7 +133,7 @@ def _bench_sim(jax, jnp, functools, benchlib, nside):
         _, ss = jax.lax.scan(body, (key, rate0), None, length=n)
         return ss
 
-    key = jax.random.PRNGKey(0)
+    key = rand.sim_key(0)
     r0 = jnp.full((na, na), 3.0, jnp.float32)
     arrs = {k: jax.device_put(jnp.asarray(v)) for k, v in arrs.items()}
     jax.device_get(chained(key, r0, arrs, 1))

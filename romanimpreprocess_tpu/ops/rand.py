@@ -21,6 +21,19 @@ import functools
 import jax
 import jax.numpy as jnp
 
+def sim_key(seed):
+    """PRNG key for bulk simulation draws.
+
+    The ``rbg`` impl keeps the threefry split/fold tree (cheap — keys
+    are scalars) but generates bulk bits with the hardware
+    RngBitGenerator, which is much cheaper per sample on TPU than full
+    threefry.  Streams are deterministic per (seed, backend) but not
+    bit-identical across backends — fine for simulation noise, whose
+    contracts are statistical.
+    """
+    return jax.random.key(seed, impl="rbg")
+
+
 SMALL_LAM_MAX = 10.0
 SMALL_STEPS = 40
 PTRS_ROUNDS = 6

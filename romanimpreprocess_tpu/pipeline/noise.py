@@ -116,7 +116,7 @@ def _poisson_resample_layer(key, e_per_slice, gain, read_pattern, weightvecs,
 def make_noise_cube(config, seed=None):
     """Build the (N_layers, nside_active, nside_active) noise cube."""
     seed = int(config["NOISE"]["SEED"] if seed is None else seed)
-    key = jax.random.PRNGKey(seed)
+    key = rand.sim_key(seed)
     rng = np.random.default_rng(seed)
 
     pack = calfiles.load_caldir_cached(config["CALDIR"])

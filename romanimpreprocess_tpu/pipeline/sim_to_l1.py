@@ -128,47 +128,57 @@ def _accumulate_resultants(key, lam_per_read, read_pattern, crparam):
 
     crh = jnp.zeros((na, na), jnp.int32)
     if do_cr:
-        # CR deposits loop over reads with 2-D temporaries only (the
-        # batched (nreads, na, na) formulation peaks ~6 GB of HBM);
-        # track extent: a CR crosses ~3 pixels (romanisim models secant
-        # tracks; the reference envelope of 10k-30k flagged pixels per
-        # exposure implies multiplicity ~3) — scaled deposits in the
-        # two neighbors along a random axis.
+        # CRs as a thinned Poisson point process: hits are ~3e-7 of the
+        # pixel-read sites, so instead of dense per-read hit/charge maps
+        # (~70 serialized full-frame draws), draw a static-size list of
+        # K candidate events, keep the first N ~ Poisson(p*M) of them,
+        # and scatter-add the deposits.  The per-site-Bernoulli and
+        # uniform-position-list formulations are the same point process
+        # (double-hit collisions have probability ~N^2/M and are
+        # physically legal anyway).  Track extent: a CR crosses
+        # ~3 pixels (romanisim models secant tracks; the reference
+        # envelope of 10k-30k flagged pixels per exposure implies
+        # multiplicity ~3) — scaled deposits in the two neighbors along
+        # a random axis; neighbors falling outside the array are
+        # dropped (zero-fill edges).
         p_hit = CR_RATE_PER_PIX_S * crparam.get("frame_time", pars.read_time)
+        lam_cr = p_hit * (nreads - 1) * na * na  # read 0 is at t=0
+        # static candidate cap at +8 sigma: truncation probability is
+        # negligible at any physical rate
+        kcap = max(256, int(-(-(lam_cr + 8.0 * lam_cr**0.5 + 8.0) // 256))
+                   * 256)
+        n_cr = rand.poisson(k_hit, jnp.float32(lam_cr), shape=(1,))[0]
+        active = jnp.arange(kcap, dtype=jnp.float32) < n_cr
 
-        def cr_body(r, carry):
-            incs, crh = carry
-            kr = jax.random.fold_in(k_hit, r)
-            hit = jax.random.bernoulli(
-                jax.random.fold_in(kr, 0), p_hit, (na, na)
-            ) & (r > 0)
-            q = jnp.exp(
-                CR_CHARGE_MU
-                + CR_CHARGE_SIGMA
-                * jax.random.normal(jax.random.fold_in(kr, 1), (na, na))
-            )
-            dep = jnp.where(hit, q, 0.0).astype(jnp.float32)
-            crh = crh + hit.astype(jnp.int32)
-            horiz = jax.random.bernoulli(
-                jax.random.fold_in(kr, 2), 0.5, (na, na)
-            )
-            fr = jax.random.uniform(
-                jax.random.fold_in(kr, 3), (2, na, na), minval=0.3, maxval=1.0
-            )
-            for s_idx, sgn in enumerate((-1, 1)):
-                side = jnp.where(hit, q * fr[s_idx], 0.0).astype(jnp.float32)
-                side_h = jnp.where(horiz, side, 0.0)
-                side_v = jnp.where(horiz, 0.0, side)
-                shifted = (
-                    jnp.roll(side_h, sgn, axis=1)
-                    + jnp.roll(side_v, sgn, axis=0)
-                )
-                dep = dep + shifted
-                crh = crh + (shifted > 0).astype(jnp.int32)
-            incs = incs.at[r].add(dep)
-            return incs, crh
+        rr = jax.random.randint(jax.random.fold_in(k_q, 0), (kcap,),
+                                1, nreads)
+        yy = jax.random.randint(jax.random.fold_in(k_q, 1), (kcap,), 0, na)
+        xx = jax.random.randint(jax.random.fold_in(k_q, 2), (kcap,), 0, na)
+        q = jnp.exp(
+            CR_CHARGE_MU
+            + CR_CHARGE_SIGMA * jax.random.normal(k_dir, (kcap,))
+        )
+        horiz = jax.random.bernoulli(jax.random.fold_in(k_dir, 1), 0.5,
+                                     (kcap,))
+        fr = jax.random.uniform(k_fr, (2, kcap), minval=0.3, maxval=1.0)
 
-        incs, crh = jax.lax.fori_loop(0, nreads, cr_body, (incs, crh))
+        dy = jnp.where(horiz, 0, 1)
+        dx = jnp.where(horiz, 1, 0)
+        # event list: center + two track neighbors
+        ev_r = jnp.concatenate([rr, rr, rr])
+        ev_y = jnp.concatenate([yy, yy - dy, yy + dy])
+        ev_x = jnp.concatenate([xx, xx - dx, xx + dx])
+        ev_q = jnp.concatenate([q, q * fr[0], q * fr[1]])
+        keep = (
+            jnp.concatenate([active] * 3)
+            * (ev_y >= 0) * (ev_y < na) * (ev_x >= 0) * (ev_x < na)
+        )
+        ev_y = jnp.clip(ev_y, 0, na - 1)
+        ev_x = jnp.clip(ev_x, 0, na - 1)
+        incs = incs.at[ev_r, ev_y, ev_x].add(
+            (ev_q * keep).astype(jnp.float32)
+        )
+        crh = crh.at[ev_y, ev_x].add(keep.astype(jnp.int32))
 
     res = jnp.einsum(
         "jr,ryx->jyx", T_d, incs, preferred_element_type=jnp.float32
@@ -462,7 +472,7 @@ class Image2D:
         nb = pars.nborder
         na = nside - 2 * nb
         act = slice(nb, nside - nb)
-        key = jax.random.PRNGKey(seed)
+        key = rand.sim_key(seed)
         k_counts, k_l1, k_fill = jax.random.split(key, 3)
 
         # cal preparation (sim_to_isim.py:615-662)
