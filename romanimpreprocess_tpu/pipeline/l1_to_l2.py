@@ -19,6 +19,7 @@ process log.
 """
 
 import sys
+import time
 
 import jax
 import jax.numpy as jnp
@@ -376,9 +377,19 @@ def calibrate_tree(l1, config, pack, area_factor=None, verbose=False):
     ``gen_noise_image.py:147-154``; here it is a function call and the
     jitted core is reused across realizations).
     """
+    t0 = time.perf_counter()
     prep = prepare_inputs(l1, config, pack, area_factor)
+    t1 = time.perf_counter()
     core = _get_core(prep["plan"], prep["cfg"], prep["geom"])
     out = jax.device_get(core(prep["arr"]))
+    t2 = time.perf_counter()
+    prep = dict(
+        prep,
+        log=prep["log"]
+        + f"Timing: host prepare {1e3 * (t1 - t0):.1f} ms; "
+        f"core dispatch+device+transfer {1e3 * (t2 - t1):.1f} ms "
+        "(includes compile on first call)\n",
+    )
     tree = package_tree(out, prep, l1, config)
     if verbose:
         print(tree["processinfo"]["log"])

@@ -429,6 +429,11 @@ class Image2D:
 
     def init_anlsim(self, fname, flip=True):
         m = re.search(r"_(\d+)_(\d+)\.fits", fname)
+        if m is None:
+            raise ValueError(
+                "anlsim input filename must end in _<obsid>_<sca>.fits "
+                f"(e.g. truth_F184_163_4.fits); got {fname!r}"
+            )
         self.idsca = (int(m.group(1)), int(m.group(2)))
         hdus = fits_lite.open_fits(fname)
         data = np.array(hdus[0].data, dtype=np.float64)
