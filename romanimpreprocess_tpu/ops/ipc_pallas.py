@@ -133,28 +133,48 @@ def ipc_rev2_cube(cube, kernel, gain=None, th=16, interpret=False):
     return res
 
 
+def _apply_k_gslab(y, k, rows_out):
+    """One K application on a natural-layout slab.
+
+    y: (G, R, W), k: (9, R, W).  Output rows [1, 1+rows_out) of the
+    slab are valid: out[:, r] = sum_t shift(y[:, r-dy] * k[t, r-dy], dx).
+    Returns (G, rows_out, W) starting at slab row 1.
+    """
+    out = None
+    for t, (dy, dx) in enumerate(TAPS):
+        src = slice(1 - dy, 1 - dy + rows_out)
+        prod = y[:, src] * k[t : t + 1, src]
+        term = _shift_cols(prod, dx)
+        out = term if out is None else out + term
+    return out
+
+
 def _ipc_kernel_blocked(ya, yc, yb, ka, kc, kb, out_ref, *, th):
-    """Blocked variant: the row halo comes from three shifted BlockSpec
-    windows (above/center/below) instead of manual DMA."""
-    y = jnp.concatenate([ya[...], yc[...], yb[...]], axis=0)  # (3th, G, W)
-    k = jnp.concatenate([ka[...], kc[...], kb[...]], axis=0)  # (3th, 9, W)
-    # output science rows = slab rows [th, 2th); reuse the slab math with
-    # a slab offset of th-2 (a needs rows [th-1, 2th+1))
-    y2 = y[th - 2 : 2 * th + 2]
-    k2 = k[th - 2 : 2 * th + 2]
-    a = _apply_k_slab(y2, k2, th + 2)
-    b = _apply_k_slab(a, k2[1 : th + 3], th)
-    out_ref[...] = 3.0 * y2[2 : th + 2] - 3.0 * a[1 : th + 1] + b
+    """Blocked variant in the cube's natural (G, rows, W) layout: the
+    row halo comes from three shifted BlockSpec windows on the middle
+    axis (above/center/below) instead of manual DMA, so the caller
+    never transposes the cube or the kernel stack."""
+    y = jnp.concatenate([ya[...], yc[...], yb[...]], axis=1)  # (G, 3th, W)
+    k = jnp.concatenate([ka[...], kc[...], kb[...]], axis=1)  # (9, 3th, W)
+    # output science rows = slab rows [th, 2th); slab offset th-2
+    # (a needs rows [th-1, 2th+1))
+    y2 = y[:, th - 2 : 2 * th + 2]
+    k2 = k[:, th - 2 : 2 * th + 2]
+    a = _apply_k_gslab(y2, k2, th + 2)
+    b = _apply_k_gslab(a, k2[:, 1 : th + 3], th)
+    out_ref[...] = 3.0 * y2[:, 2 : th + 2] - 3.0 * a[:, 1 : th + 1] + b
 
 
 @functools.partial(jax.jit, static_argnames=("th", "interpret", "vmem_mb"))
 def ipc_rev2_cube_blocked(cube, kernel, gain=None, th=16, interpret=False,
-                          vmem_mb=64):
+                          vmem_mb=96):
     """Order-2 IPC inverse via shifted-BlockSpec halos (no manual DMA).
 
     Reads the cube and kernel three times each (the halo windows) but
-    uses only the standard pipelined block machinery — a fallback for
-    backends where manual-DMA kernels are problematic.
+    uses only the standard pipelined block machinery and the cube's
+    natural (G, rows, W) layout — no transposes on the hot path.
+    ``gain`` conjugation (DN space) is fused into the pad-embed and
+    the un-pad, so the caller needs no extra full-cube passes.
     """
     ngrp, na, _ = cube.shape
     y = cube if gain is None else cube * gain
@@ -165,20 +185,18 @@ def ipc_rev2_cube_blocked(cube, kernel, gain=None, th=16, interpret=False,
 
     # th leading pad rows, science at [th, th+na), pad to (n_tiles+2)*th
     rows_in = (n_tiles + 2) * th
-    yp = jnp.zeros((rows_in, ngrp, width), dtype=jnp.float32)
-    yp = yp.at[th : th + na, :, 2 : 2 + na].set(y.transpose(1, 0, 2))
-    kp = jnp.zeros((rows_in, 9, width), dtype=jnp.float32)
-    kp = kp.at[th : th + na, :, 2 : 2 + na].set(
-        kernel.reshape(9, na, na).transpose(1, 0, 2)
-    )
+    yp = jnp.zeros((ngrp, rows_in, width), dtype=jnp.float32)
+    yp = yp.at[:, th : th + na, 2 : 2 + na].set(y)
+    kp = jnp.zeros((9, rows_in, width), dtype=jnp.float32)
+    kp = kp.at[:, th : th + na, 2 : 2 + na].set(kernel.reshape(9, na, na))
 
     yspec = [
-        pl.BlockSpec((th, ngrp, width), (lambda i, d=d: (i + d, 0, 0)),
+        pl.BlockSpec((ngrp, th, width), (lambda i, d=d: (0, i + d, 0)),
                      memory_space=pltpu.VMEM)
         for d in (0, 1, 2)
     ]
     kspec = [
-        pl.BlockSpec((th, 9, width), (lambda i, d=d: (i + d, 0, 0)),
+        pl.BlockSpec((9, th, width), (lambda i, d=d: (0, i + d, 0)),
                      memory_space=pltpu.VMEM)
         for d in (0, 1, 2)
     ]
@@ -187,9 +205,9 @@ def ipc_rev2_cube_blocked(cube, kernel, gain=None, th=16, interpret=False,
         grid=(n_tiles,),
         in_specs=yspec + kspec,
         out_specs=pl.BlockSpec(
-            (th, ngrp, width), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (ngrp, th, width), lambda i: (0, i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((rows_out, ngrp, width), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((ngrp, rows_out, width), jnp.float32),
         compiler_params=(
             None if interpret
             else pltpu.CompilerParams(vmem_limit_bytes=vmem_mb * 1024 * 1024)
@@ -197,7 +215,7 @@ def ipc_rev2_cube_blocked(cube, kernel, gain=None, th=16, interpret=False,
         interpret=interpret,
     )(yp, yp, yp, kp, kp, kp)
 
-    res = out[:na, :, 2 : 2 + na].transpose(1, 0, 2)
+    res = out[:, :na, 2 : 2 + na]
     if gain is not None:
         res = res / gain
     return res

@@ -16,12 +16,22 @@ from .legendre import legendre_basis_1d
 
 
 def binkxk(arr, k):
-    """k x k mean binning of a 2-D array (remainder pixels dropped)."""
+    """k x k mean binning of a 2-D array (remainder pixels dropped).
+
+    Strided-slice adds instead of a reshape+mean: the (nyo, k, nxo, k)
+    reshape forces a lane-layout transform on TPU (~10 ms at 4096^2
+    where the adds are free).  NaN poisons its block, as with mean.
+    """
     ny, nx = arr.shape
     nyo, nxo = ny // k, nx // k
-    return jnp.mean(
-        arr[: k * nyo, : k * nxo].reshape(nyo, k, nxo, k), axis=(1, 3)
-    )
+    a = arr[: k * nyo, : k * nxo]
+    r = a[0::k]
+    for i in range(1, k):
+        r = r + a[i::k]
+    c = r[:, 0::k]
+    for j in range(1, k):
+        c = c + r[:, j::k]
+    return c / (k * k)
 
 
 def smooth_mode(arr, pc=25.0, pksmooth=0.5, niter=3, nbin=21):

@@ -30,7 +30,7 @@ from ..config import load_config
 from ..dqflags import group as gdq
 from ..dqflags import pixel
 from ..io import asdf_lite, calfiles, fits_lite
-from ..ops import ipc, ipc_pallas, likely, linearity, mask, ramp, refsub, saturation, sky, wcsutils
+from ..ops import ipc, ipc_pallas, likely, linearity, linearity_pallas, mask, ramp, refsub, saturation, sky, wcsutils
 from ..utils import typefix
 from ..utils.processlog import ProcessLog
 from . import oututils
@@ -123,6 +123,12 @@ def make_core(plan, cfg, geom):
     """
     nside, nborder, channelwidth = geom
     nb = nborder
+    # diagnostic stage ablation (tools/profile_stages.py): names in
+    # cfg["ablate"] are skipped so the fused core's true marginal stage
+    # costs can be measured (standalone stage timings overstate work
+    # that XLA elides in the full graph)
+    ab = cfg.get("ablate", ())
+    has_ipc = cfg["has_ipc"] and "ipc" not in ab
 
     def core(arr):
         data = arr["data"].astype(jnp.float32)  # (ngrp, N, N)
@@ -135,16 +141,19 @@ def make_core(plan, cfg, geom):
             rdq = rdq.at[0].set(rdq[0] | jnp.uint32(gdq.DO_NOT_USE))
 
         # ---- saturation ----
-        rdq, pdq = saturation.flag_saturation(
-            data, rdq, pdq, arr["saturation"], arr["saturation_dq"],
-            backup=cfg["backup"], skip_first=1, n_pix_grow_sat=1,
-        )
+        if "saturation" not in ab:
+            rdq, pdq = saturation.flag_saturation(
+                data, rdq, pdq, arr["saturation"], arr["saturation_dq"],
+                backup=cfg["backup"], skip_first=1, n_pix_grow_sat=1,
+            )
 
         # ---- reference pixel correction ----
-        data = _refpix_correct(
-            data, arr["dark_cube"], arr["amp33"], arr["amp33_med"],
-            arr["opt_slope"], nside, nborder, channelwidth, cfg["use_amp33"],
-        )
+        if "refpix" not in ab:
+            data = _refpix_correct(
+                data, arr["dark_cube"], arr["amp33"], arr["amp33_med"],
+                arr["opt_slope"], nside, nborder, channelwidth,
+                cfg["use_amp33"],
+            )
 
         # ---- bias correction ----
         if cfg["has_biascorr"]:
@@ -159,17 +168,24 @@ def make_core(plan, cfg, geom):
             data = _correct_wfi18(data, nside, nborder)
 
         # ---- linearity ----
-        lin = linearity.LinearityData(
-            arr["lin_coefs"], arr["lin_smin"], arr["lin_smax"],
-            arr["lin_sref"], arr["lin_dq"],
-        )
-        attempt = (rdq & jnp.uint32(gdq.SATURATED)) == 0
-        data, dq_lin = linearity.apply_linearity_cube(
-            data, lin,
-            do_not_flag_first=cfg["first_is_reset"],
-            attempt_corr=attempt,
-        )
-        pdq = pdq | dq_lin
+        if "linearity" not in ab:
+            lin = linearity.LinearityData(
+                arr["lin_coefs"], arr["lin_smin"], arr["lin_smax"],
+                arr["lin_sref"], arr["lin_dq"],
+            )
+            attempt = (rdq & jnp.uint32(gdq.SATURATED)) == 0
+            if cfg.get("lin_pallas", False):
+                data, dq_lin = linearity_pallas.apply_linearity_cube_fused(
+                    data, lin, attempt,
+                    do_not_flag_first=cfg["first_is_reset"],
+                )
+            else:
+                data, dq_lin = linearity.apply_linearity_cube(
+                    data, lin,
+                    do_not_flag_first=cfg["first_is_reset"],
+                    attempt_corr=attempt,
+                )
+            pdq = pdq | dq_lin
 
         # ---- IPC deconvolution ----
         # The dark-slope and (clipped) flat deconvolutions needed later
@@ -179,7 +195,7 @@ def make_core(plan, cfg, geom):
         # frames instead of three separate invocations.
         dslope_ipc = None
         flat_ipc = None
-        if cfg["has_ipc"]:
+        if has_ipc:
             gain_act = arr["gain"][nb:-nb, nb:-nb]
             gain_flat = jnp.clip(gain_act, 0.1, None)
             flat_clipped = jnp.clip(
@@ -218,7 +234,7 @@ def make_core(plan, cfg, geom):
             )
 
         # ---- dark current subtraction (IPC-corrected dark slope) ----
-        if cfg["has_ipc"]:
+        if has_ipc:
             slope = slope.at[nb:-nb, nb:-nb].add(-dslope_ipc)
         else:
             slope = slope.at[nb:-nb, nb:-nb].add(
@@ -242,7 +258,7 @@ def make_core(plan, cfg, geom):
             jnp.uint32(pixel.NO_FLAT_FIELD), jnp.uint32(0),
         )
         flat = jnp.clip(flat, 0.1, 10.0)
-        if cfg["has_ipc"]:
+        if has_ipc:
             g = arr["gain"][nb:-nb, nb:-nb]
             pdq = pdq.at[nb:-nb, nb:-nb].set(
                 pdq[nb:-nb, nb:-nb]
@@ -257,11 +273,14 @@ def make_core(plan, cfg, geom):
 
         # ---- sky ----
         slope_withsky = slope
-        m = mask.PixelMask1.build(pdq)
-        medsky, _ = sky.smooth_mode(
-            sky.binkxk(jnp.where(~m, slope, jnp.nan), 4)
-        )
-        if cfg["skyorder"] >= 0:
+        if "sky" not in ab and "smooth" not in ab:
+            m = mask.PixelMask1.build(pdq)
+            medsky, _ = sky.smooth_mode(
+                sky.binkxk(jnp.where(~m, slope, jnp.nan), 4)
+            )
+        else:
+            medsky = jnp.float32(0.0)
+        if cfg["skyorder"] >= 0 and "sky" not in ab and "medfit" not in ab:
             skycoefs, skymodel = sky.medfit(
                 slope[nb:-nb, nb:-nb], order=cfg["skyorder"]
             )
@@ -474,8 +493,9 @@ def prepare_inputs(l1, config, pack, area_factor=None):
         wfi18=wfi18,
         first_is_reset=(read_pattern[0] == [0]),
         has_ipc="ipc4d" in caldir,
-        # fused Pallas IPC kernel (TPU only; the CPU interpreter is slow)
+        # fused Pallas kernels (TPU only; the CPU interpreter is slow)
         ipc_pallas=(str(config.get("IPC_BACKEND", "xla")).lower() == "pallas"),
+        lin_pallas=(str(config.get("LIN_BACKEND", "xla")).lower() == "pallas"),
         has_dark_dq=pack.dark_dq is not None,
         skyorder=int(config.get("SKYORDER", -1)),
     )

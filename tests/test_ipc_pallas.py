@@ -59,3 +59,41 @@ def test_pallas_correct_cube_border():
     assert np.array_equal(got[:, :nb, :], np.array(data)[:, :nb, :])
     rel = np.abs(got - want).max() / np.abs(want).max()
     assert rel < 1e-5
+
+
+def test_fused_linearity_matches_xla_path():
+    """apply_linearity_cube_fused (interpret) == apply_linearity_cube:
+    bit-exact dq, float32-roundoff phi, including the dq-feedback
+    fallback and non-aligned shapes (padding path)."""
+    import numpy as np
+
+    from romanimpreprocess_tpu.dqflags import pixel
+    from romanimpreprocess_tpu.ops import linearity, linearity_pallas
+
+    rng = np.random.RandomState(7)
+    for ny, nx in ((24, 128), (20, 130)):
+        ngrp = 4
+        coefs = jnp.asarray(
+            rng.randn(6, ny, nx).astype(np.float32) * 0.1
+            + np.array([0, 3e4, 0, 0, 0, 0], np.float32)[:, None, None])
+        smin = jnp.asarray(rng.rand(ny, nx).astype(np.float32) * 100)
+        smax = smin + 40000
+        dq = jnp.asarray(
+            (rng.rand(ny, nx) < 0.05).astype(np.uint32)
+            * np.uint32(pixel.NO_LIN_CORR)
+            | (rng.rand(ny, nx) < 0.05).astype(np.uint32)
+            * np.uint32(pixel.REFERENCE_PIXEL))
+        lin = linearity.LinearityData(coefs, smin, smax, smin + 200.0, dq)
+        S = jnp.asarray(
+            smin[None] + rng.rand(ngrp, ny, nx).astype(np.float32) * 5e4
+            - 2000)
+        att = jnp.asarray(rng.rand(ngrp, ny, nx) < 0.9)
+        for dnff in (True, False):
+            ref, dq_ref = linearity.apply_linearity_cube(
+                S, lin, do_not_flag_first=dnff, attempt_corr=att)
+            got, dq_got = linearity_pallas.apply_linearity_cube_fused(
+                S, lin, att, do_not_flag_first=dnff, th=8, interpret=True)
+            assert (np.asarray(dq_ref) == np.asarray(dq_got)).all()
+            r, g = np.asarray(ref), np.asarray(got)
+            assert np.allclose(r, g, rtol=5e-7, atol=1e-2), (
+                ny, nx, dnff, np.abs(r - g).max())

@@ -1,0 +1,233 @@
+"""Per-stage wall-clock profile of the L1->L2 calibration core on TPU.
+
+Each stage is timed with the same serially-dependent chained-scan
+differencing bench.py uses (block_until_ready does not synchronize on
+the axon relay backend).  Arrays are passed as jit arguments to keep
+remote-compile payloads small.
+
+Usage: python tools/profile_stages.py [nside]
+"""
+
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from romanimpreprocess_tpu import benchlib
+from romanimpreprocess_tpu.dqflags import group as gdq
+from romanimpreprocess_tpu.ops import ipc, ipc_pallas, linearity, ramp, saturation, sky
+from romanimpreprocess_tpu.ops import mask
+from romanimpreprocess_tpu.pipeline.l1_to_l2 import _refpix_correct
+
+
+def timed(fn, arrs, data0, n_lo=1, n_hi=9):
+    """Wall-clock per iteration of fn(data, arrs) -> f32 scalar."""
+
+    @functools.partial(jax.jit, static_argnums=2)
+    def chained(data, arrs, n):
+        def body(carry, _):
+            s = fn(carry, arrs)
+            return carry + (s * 0).astype(carry.dtype), s
+
+        _, ss = jax.lax.scan(body, data, None, length=n)
+        return ss
+
+    jax.device_get(chained(data0, arrs, n_lo))
+    jax.device_get(chained(data0, arrs, n_hi))
+    t0 = time.perf_counter()
+    jax.device_get(chained(data0, arrs, n_lo))
+    t_lo = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    jax.device_get(chained(data0, arrs, n_hi))
+    t_hi = time.perf_counter() - t0
+    return (t_hi - t_lo) / (n_hi - n_lo)
+
+
+def main():
+    nside = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    arr, plan, cfg, geom = benchlib.core_bundle(nside=nside)
+    nside_, nb, chw = geom
+    ngrp = arr["data"].shape[0]
+    arrs = {k: jax.device_put(jnp.asarray(v)) for k, v in arr.items()}
+    data0 = arrs["data"].astype(jnp.float32)
+    rdq0 = jnp.zeros(data0.shape, jnp.uint32)
+    pdq0 = arrs["mask_dq"].astype(jnp.uint32)
+
+    stages = {}
+
+    def st_saturation(data, a):
+        rdq, pdq = saturation.flag_saturation(
+            data, rdq0, pdq0, a["saturation"], a["saturation_dq"],
+            backup=cfg["backup"], skip_first=1, n_pix_grow_sat=1)
+        return (rdq[-1, 0, 0] + pdq[0, 0]).astype(jnp.float32)
+
+    def st_refpix(data, a):
+        out = _refpix_correct(
+            data, a["dark_cube"], a["amp33"], a["amp33_med"],
+            a["opt_slope"], nside_, nb, chw, cfg["use_amp33"])
+        return out[0, 0, 0]
+
+    def st_linearity(data, a):
+        lin = linearity.LinearityData(
+            a["lin_coefs"], a["lin_smin"], a["lin_smax"],
+            a["lin_sref"], a["lin_dq"])
+        out, dq = linearity.apply_linearity_cube(
+            data, lin, do_not_flag_first=cfg["first_is_reset"],
+            attempt_corr=jnp.ones(data.shape, bool))
+        return out[0, 0, 0] + dq[0, 0].astype(jnp.float32)
+
+    def st_ipc_pallas(data, a):
+        gain_act = a["gain"][nb:-nb, nb:-nb]
+        stacked = jnp.concatenate([
+            data[:, nb:-nb, nb:-nb] * gain_act[None],
+            (a["dark_slope"][nb:-nb, nb:-nb] * gain_act)[None],
+            (a["flat"][nb:-nb, nb:-nb] * gain_act)[None]])
+        corr = ipc_pallas.ipc_rev2_cube_blocked(stacked, a["ipc_kernel"])
+        return corr[0, 0, 0]
+
+    def st_ipc_xla(data, a):
+        gain_act = a["gain"][nb:-nb, nb:-nb]
+        stacked = jnp.concatenate([
+            data[:, nb:-nb, nb:-nb] * gain_act[None],
+            (a["dark_slope"][nb:-nb, nb:-nb] * gain_act)[None],
+            (a["flat"][nb:-nb, nb:-nb] * gain_act)[None]])
+        corr = ipc.ipc_rev(stacked, a["ipc_kernel"])
+        return corr[0, 0, 0]
+
+    def st_ramp(data, a):
+        slope, ser, sep, rdq, pdq = ramp.ramp_fit(
+            data, rdq0, pdq0, plan, a["gain"], a["read_sigma"], nborder=nb)
+        return slope[0, 0] + ser[0, 0]
+
+    def st_sky(data, a):
+        slope = data[0]
+        m = mask.PixelMask1.build(pdq0)
+        medsky, _ = sky.smooth_mode(
+            sky.binkxk(jnp.where(~m, slope, jnp.nan), 4))
+        skycoefs, skymodel = sky.medfit(
+            slope[nb:-nb, nb:-nb], order=cfg["skyorder"])
+        return medsky + skymodel[0, 0]
+
+    for name, f in [
+        ("saturation", st_saturation),
+        ("refpix", st_refpix),
+        ("linearity", st_linearity),
+        ("ipc_pallas", st_ipc_pallas),
+        ("ipc_xla", st_ipc_xla),
+        ("ramp_fit", st_ramp),
+        ("sky", st_sky),
+    ]:
+        dt = timed(f, arrs, data0)
+        stages[name] = round(dt * 1e3, 2)
+        print(f"{name:12s} {dt * 1e3:8.2f} ms", flush=True)
+
+    print(json.dumps({"nside": nside, "ngrp": ngrp, "stages_ms": stages}))
+
+
+
+
+def main_sky():
+    """Sub-profile of the sky stage components."""
+    nside = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
+    arr, plan, cfg, geom = benchlib.core_bundle(nside=nside)
+    nside_, nb, _ = geom
+    arrs = {k: jax.device_put(jnp.asarray(v)) for k, v in arr.items()}
+    data0 = arrs["data"].astype(jnp.float32)
+    pdq0 = arrs["mask_dq"].astype(jnp.uint32)
+
+    def st_maskbuild(data, a):
+        m = mask.PixelMask1.build(pdq0 | data[0, :, :].astype(jnp.uint32))
+        return m[0, 0].astype(jnp.float32)
+
+    def st_smooth(data, a):
+        m = mask.PixelMask1.build(pdq0)
+        medsky, _ = sky.smooth_mode(
+            sky.binkxk(jnp.where(~m, data[0], jnp.nan), 4))
+        return medsky
+
+    def st_medfit(data, a):
+        skycoefs, skymodel = sky.medfit(
+            data[0, nb:-nb, nb:-nb], order=cfg["skyorder"])
+        return skymodel[0, 0]
+
+    out = {}
+    for name, f in [
+        ("mask_build", st_maskbuild),
+        ("mask+smooth_mode", st_smooth),
+        ("medfit", st_medfit),
+    ]:
+        dt = timed(f, arrs, data0)
+        out[name] = round(dt * 1e3, 2)
+        print(f"{name:18s} {dt * 1e3:8.2f} ms", flush=True)
+    print(json.dumps(out))
+
+
+
+
+def main_ablate():
+    """Marginal in-core stage costs: full core minus one stage each.
+
+    The fused core's XLA graph elides work that standalone stage
+    timings count, so marginal (ablation) numbers are the truthful
+    attribution.
+    """
+    from romanimpreprocess_tpu.pipeline import l1_to_l2
+
+    nside = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
+    arr, plan, cfg, geom = benchlib.core_bundle(nside=nside)
+    cfg = dict(cfg, ipc_pallas=True)
+    arrs = {k: jax.device_put(jnp.asarray(v)) for k, v in arr.items()}
+
+    def timed_core(core, n_lo=1, n_hi=9):
+        @functools.partial(jax.jit, static_argnums=2)
+        def chained(data, a, n):
+            def body(carry, _):
+                out = core(dict(a, data=carry))
+                c2 = carry + (out["slope"][:1, :1].sum() * 0).astype(carry.dtype)
+                return c2, out["slope"][0, 0]
+            _, ss = jax.lax.scan(body, data, None, length=n)
+            return ss
+        d0 = arrs["data"]
+        jax.device_get(chained(d0, arrs, n_lo))
+        jax.device_get(chained(d0, arrs, n_hi))
+        t0 = time.perf_counter(); jax.device_get(chained(d0, arrs, n_lo))
+        tl = time.perf_counter() - t0
+        t0 = time.perf_counter(); jax.device_get(chained(d0, arrs, n_hi))
+        th_ = time.perf_counter() - t0
+        return (th_ - tl) / (n_hi - n_lo)
+
+    base = timed_core(l1_to_l2.make_core(plan, cfg, geom))
+    print(f"{'full':14s} {base * 1e3:8.2f} ms", flush=True)
+    out = {"full": round(base * 1e3, 2)}
+    variants = [
+        ("saturation",), ("refpix",), ("linearity",), ("ipc",), ("sky",),
+        ("smooth",), ("medfit",), ("lin_pallas",),
+    ]
+    for v in variants:
+        if v == ("lin_pallas",):
+            c = dict(cfg, lin_pallas=True)
+        else:
+            c = dict(cfg, ablate=v)
+        dt = timed_core(l1_to_l2.make_core(plan, c, geom))
+        tag = "+".join(v)
+        label = tag if v == ("lin_pallas",) else "minus " + tag
+        delta = (dt - base) if v == ("lin_pallas",) else (base - dt)
+        print(f"{label:14s} {dt * 1e3:8.2f} ms  (marginal {delta * 1e3:+7.2f})",
+              flush=True)
+        out[label] = round(dt * 1e3, 2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "sky":
+        main_sky()
+    elif len(sys.argv) > 1 and sys.argv[1] == "ablate":
+        main_ablate()
+    else:
+        main()
