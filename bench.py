@@ -30,7 +30,7 @@ def main():
 
     nside = 4096
     arr, plan, cfg, geom = benchlib.core_bundle(nside=nside)
-    cfg = dict(cfg, ipc_pallas=True, lin_pallas=True)  # fused Pallas kernels
+    cfg = dict(cfg, ipc_pallas=True, lin_pallas=True, med_pallas=True)  # fused Pallas kernels
     core = l1_to_l2.make_core(plan, cfg, geom)
     arr = {k: jax.device_put(jnp.asarray(v)) for k, v in arr.items()}
 

@@ -136,12 +136,14 @@ def _tri_indices(order):
     return [(i, j) for i in range(order + 1) for j in range(order + 1 - i)]
 
 
-def medfit(arr, N=8, order=2):
+def medfit(arr, N=8, order=2, pallas=False):
     """Low-order 2-D Legendre fit to block nanmedians.
 
     Returns (coef, model) where ``model[y, x] = sum coef_k P_i(u) P_j(v)``
     with u, v the x/y coordinates scaled to [-1, 1) and the (i, j)
-    ordering of the reference (``sky.py:96-191``).
+    ordering of the reference (``sky.py:96-191``).  ``pallas=True``
+    routes the block medians through the fused TPU kernel
+    (``median_pallas.block_nanmedian_fused``, bit-identical).
     """
     ny, nx = arr.shape
     kx, ky = nx // N, ny // N
@@ -150,7 +152,12 @@ def medfit(arr, N=8, order=2):
     u_ = 2 * (px - 0.5 + kx * jnp.linspace(0.5, N - 0.5, N)) / nx - 1
     v_ = 2 * (py - 0.5 + ky * jnp.linspace(0.5, N - 0.5, N)) / ny - 1
 
-    meds = block_nanmedian(arr, N)
+    if pallas:
+        from .median_pallas import block_nanmedian_fused
+
+        meds = block_nanmedian_fused(arr, N)
+    else:
+        meds = block_nanmedian(arr, N)
 
     terms = _tri_indices(order)
     nc = len(terms)

@@ -97,3 +97,32 @@ def test_fused_linearity_matches_xla_path():
             r, g = np.asarray(ref), np.asarray(got)
             assert np.allclose(r, g, rtol=5e-7, atol=1e-2), (
                 ny, nx, dnff, np.abs(r - g).max())
+
+
+def test_block_nanmedian_fused_bit_identical():
+    """The Pallas block-median kernel (interpret) is bit-identical to
+    sky.block_nanmedian and np.nanmedian, incl. NaNs, all-NaN blocks,
+    and non-aligned widths."""
+    import warnings
+
+    import numpy as np
+
+    from romanimpreprocess_tpu.ops import median_pallas, sky
+
+    rng = np.random.RandomState(1)
+    for ny, nx, N in ((64, 64, 8), (72, 68, 8), (128, 120, 4)):
+        arr = rng.randn(ny, nx).astype(np.float32) * 100
+        arr[rng.rand(ny, nx) < 0.2] = np.nan
+        arr[: ny // N, : nx // N] = np.nan
+        ref = np.asarray(sky.block_nanmedian(jnp.asarray(arr), N))
+        got = np.asarray(median_pallas.block_nanmedian_fused(
+            jnp.asarray(arr), N, interpret=True))
+        assert ((ref == got) | (np.isnan(ref) & np.isnan(got))).all()
+        ky, kx = ny // N, nx // N
+        py, px = (ny % N) // 2, (nx % N) // 2
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            oracle = np.nanmedian(
+                arr[py : py + N * ky, px : px + N * kx]
+                .reshape(N, ky, N, kx), axis=(1, 3))
+        assert ((oracle == got) | (np.isnan(oracle) & np.isnan(got))).all()
