@@ -240,8 +240,10 @@ def make_core(plan, cfg, geom):
                 ]
             )
             if cfg.get("ipc_pallas", False):
+                # th=32 measured fastest at full frame (10.7 vs 11.6 ms
+                # at th=16 standalone on v5e)
                 corr = ipc_pallas.ipc_rev2_cube_blocked(
-                    stacked, arr["ipc_kernel"]
+                    stacked, arr["ipc_kernel"], th=32, vmem_mb=128
                 )
             else:
                 corr = ipc.ipc_rev(stacked, arr["ipc_kernel"])
