@@ -449,6 +449,29 @@ def calibrate_tree(l1, config, pack, area_factor=None, verbose=False):
     return tree, out
 
 
+def _guide_window_rows(l1meta, config, nside, expand=1):
+    """Boolean (nside,) mask of rows affected by the guide-window read.
+
+    romancal ``do_dqinit`` flags the rows spanned by the guide window,
+    expanded by ``expand_gw_flagging`` rows on each side (the reference
+    passes 1, ``gen_cal_image.py:118``).  Bounds come from
+    ``config["GUIDE_WINDOW"] = [ystart, ystop)`` (highest priority) or
+    the L1 meta ``guide_star.gw_window_ystart / gw_window_ystop``.
+    Returns None when no guide-window spec is present (then no rows are
+    flagged, matching romancal's no-guide-star behavior).
+    """
+    bounds = config.get("GUIDE_WINDOW")
+    if bounds is None:
+        gs = l1meta.get("guide_star")
+        if gs is None or "gw_window_ystart" not in gs:
+            return None
+        bounds = (gs["gw_window_ystart"], gs["gw_window_ystop"])
+    y0, y1 = int(bounds[0]), int(bounds[1])
+    rows = np.zeros(nside, dtype=bool)
+    rows[max(y0 - expand, 0):min(y1 + expand, nside)] = True
+    return rows
+
+
 def prepare_inputs(l1, config, pack, area_factor=None):
     """Host-side preparation: plan, static cfg, and the device array
     bundle for one SCA.  Returns a dict (``arr`` values are numpy so
@@ -478,6 +501,24 @@ def prepare_inputs(l1, config, pack, area_factor=None):
 
     exclude_first = bool(config.get("EXCLUDE_FIRST", True))
     backup = int(config.get("SATURATION_BACKUP", 1))
+
+    # ---- guide-window DQ flagging (host side; per-exposure metadata) ----
+    # romancal's do_dqinit is invoked with expand_gw_flagging=1 by the
+    # reference (gen_cal_image.py:118): every science row spanned by the
+    # guide-window readout, expanded by one row on each side, is flagged
+    # GW_AFFECTED_DATA in the pixel DQ.
+    mask_dq = (
+        pack.mask_dq if pack.mask_dq is not None
+        else np.zeros((nside, nside), np.uint32)
+    )
+    gw_rows = _guide_window_rows(l1meta, config, nside)
+    if gw_rows is not None:
+        mask_dq = mask_dq.copy()
+        mask_dq[gw_rows] |= np.uint32(pixel.GW_AFFECTED_DATA)
+        mylog.append(
+            f"Guide window: flagged {int(gw_rows.sum())} rows "
+            "GW_AFFECTED_DATA\n"
+        )
 
     uopt = config.get(
         "RAMP_OPT_PARS", {"slope": 0.4, "gain": 1.8, "sigma_read": 6.5}
@@ -555,10 +596,7 @@ def prepare_inputs(l1, config, pack, area_factor=None):
         ),
         "gain": pack.gain,
         "read_sigma": pack.read_sigma,
-        "mask_dq": (
-            pack.mask_dq if pack.mask_dq is not None
-            else np.zeros((nside, nside), np.uint32)
-        ),
+        "mask_dq": mask_dq,
         "saturation": pack.saturation,
         "saturation_dq": (
             pack.saturation_dq if pack.saturation_dq is not None

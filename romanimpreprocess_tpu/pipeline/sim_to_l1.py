@@ -255,14 +255,25 @@ def _l1_core_factory(read_pattern, ft, has_biascorr, has_ipc, do_cr):
 
 
 def make_l1_fullcal(key, counts_rate_e, read_pattern, pack, frame_time=None,
-                    crparam=None):
+                    crparam=None, persistence=None):
     """Counts rate (e/s, active region) -> L1 resultants in raw DN.
 
     Mirrors reference ``make_l1_fullcal`` (``sim_to_isim.py:163-262``):
     reset noise, per-resultant IL forward model, read noise, biascorr,
     rounding.  Returns (resultants_DN (ngrp, na, na) float32,
     resultantdq (ngrp, na, na) uint32).
+
+    ``persistence`` is an optional (na, na) charge rate in e/s from
+    prior exposures, added to the per-pixel rate before the Poisson
+    draw.  The reference threads a ``romanisim.persistence.Persistence``
+    object through the same call (``sim_to_isim.py:676-691``, always a
+    fresh/empty one so zero physics there too); here the hook takes the
+    evaluated rate image directly — host metadata stays on the host.
     """
+    if persistence is not None:
+        counts_rate_e = jnp.asarray(counts_rate_e, jnp.float32) + jnp.asarray(
+            persistence, jnp.float32
+        )
     ft = pars.read_time if frame_time is None else frame_time
     nside = pack.gain.shape[0]
     na = counts_rate_e.shape[0]
@@ -456,12 +467,15 @@ class Image2D:
         self.pa_ = float(self.header["PA_OBSY"])
 
     def simulate(self, use_read_pattern, caldir=None, config=None, seed=43,
-                 sky_rate=0.4, frame_time=None):
+                 sky_rate=0.4, frame_time=None, persistence=None):
         """L1 (and idealized L2 inputs) simulation.
 
         Follows reference ``Image2D.simulate`` (``sim_to_isim.py:520-791``)
         with the romanisim blank-image step replaced by an explicit
         sky+dark Poisson rate (``sky_rate`` e/s/pix scaled by the flat).
+        ``persistence``: optional (na, na) prior-exposure charge rate in
+        e/s, forwarded to ``make_l1_fullcal`` (reference threads a
+        Persistence object the same way, ``sim_to_isim.py:581,676``).
         """
         config = config or {}
         if caldir is None:
@@ -511,7 +525,7 @@ class Image2D:
         # L1 synthesis
         resultants, l1dq = make_l1_fullcal(
             k_l1, jnp.asarray(rate_e, jnp.float32), use_read_pattern, pack,
-            frame_time=ft, crparam={},
+            frame_time=ft, crparam={}, persistence=persistence,
         )
 
         no_amp33 = bool(caldir.get("NO_AMP33", False))
@@ -720,11 +734,20 @@ def run_config(config):
     use_read_pattern = reads_to_pattern(config["READS"])
     seed = int(config.get("SEED", 43))
 
+    # optional prior-exposure persistence rate image (e/s), FITS file
+    # (analog of the Persistence threading in sim_to_isim.py:924-928)
+    persistence = None
+    if config.get("PERSISTENCE"):
+        persistence = np.asarray(
+            fits_lite.open_fits(config["PERSISTENCE"])[0].data, np.float32
+        )
+
     x = Image2D("anlsim", fname=config["IN"])
     x.simulate(
         use_read_pattern, caldir=caldir, config=config, seed=seed,
         sky_rate=float(config.get("SKY_RATE", 0.4)),
         frame_time=config.get("FRAME_TIME"),
+        persistence=persistence,
     )
     x.L1_write_to(config["OUT"])
 

@@ -172,6 +172,76 @@ def test_determinism(workdir, tmp_path):
     assert np.array_equal(np.asarray(ra["data"]), np.asarray(rb["data"]))
 
 
+def test_guide_window_flagging(workdir, tmp_path):
+    """Guide-window rows get GW_AFFECTED_DATA, expanded by 1 row each
+    side (romancal do_dqinit with expand_gw_flagging=1, the reference's
+    call at gen_cal_image.py:118)."""
+    d, scene, caldir, c1, c2 = workdir
+    GW = 2**4
+    # config override path
+    c2g = dict(c2, OUT=str(tmp_path / "L2gw.asdf"), GUIDE_WINDOW=[40, 44])
+    l1_to_l2.calibrateimage(c2g)
+    dq = np.asarray(asdf_lite.open(str(tmp_path / "L2gw.asdf"))["roman"]["dq"])
+    rows_flagged = (dq & GW) != 0
+    # full-frame rows 39..44 -> active (nborder=4) rows 35..40
+    expect = np.zeros(NA, bool)
+    expect[35:41] = True
+    assert np.array_equal(rows_flagged.all(axis=1), expect)
+    assert np.array_equal(rows_flagged.any(axis=1), expect)
+
+    # L1-meta path (roman_datamodels guide_star fields)
+    pack = calfiles.load_caldir(caldir)
+    l1 = asdf_lite.open(d + "/L1.asdf")["roman"]
+    l1["meta"]["guide_star"] = {
+        "gw_window_ystart": 8, "gw_window_ystop": 10,
+    }
+    tree, _ = l1_to_l2.calibrate_tree(l1, dict(c2), pack)
+    dq2 = np.asarray(tree["roman"]["dq"])
+    rows2 = ((dq2 & GW) != 0).all(axis=1)
+    expect2 = np.zeros(NA, bool)
+    expect2[3:7] = True  # full rows 7..10 -> active 3..6
+    assert np.array_equal(rows2, expect2)
+    assert "Guide window" in tree["processinfo"]["log"]
+
+
+def test_persistence_hook(workdir, tmp_path):
+    """make_l1_fullcal adds the persistence rate to the charge; the
+    recovered ramp rate grows by persistence/gain DN/s (reference hook:
+    sim_to_isim.py:676-691)."""
+    import jax
+
+    from romanimpreprocess_tpu.ops import rand
+
+    d, scene, caldir, c1, c2 = workdir
+    pack = calfiles.load_caldir(caldir)
+    key = rand.sim_key(11)
+    rate = np.full((NA, NA), 1.0, np.float32)
+    pers = np.full((NA, NA), 3.0, np.float32)
+    r0, _ = sim_to_l1.make_l1_fullcal(key, rate, READ_PATTERN, pack)
+    r1, _ = sim_to_l1.make_l1_fullcal(
+        key, rate, READ_PATTERN, pack, persistence=pers
+    )
+    ft = 3.04
+    tbar = np.array([np.mean(g) for g in READ_PATTERN]) * ft
+    gmed = float(np.median(pack.gain))
+    d0 = float(np.mean(np.asarray(r0[-1] - r0[1]))) / (tbar[-1] - tbar[1])
+    d1 = float(np.mean(np.asarray(r1[-1] - r1[1]))) / (tbar[-1] - tbar[1])
+    extra = (d1 - d0) * gmed  # e/s
+    assert 2.4 < extra < 3.6
+
+    # config-driven path: PERSISTENCE fits raises the L1 signal level
+    pfile = str(tmp_path / "pers.fits")
+    fits_lite.PrimaryHDU(pers * 10).writeto(pfile, overwrite=True)
+    c1p = dict(c1, OUT=str(tmp_path / "L1p.asdf"), PERSISTENCE=pfile)
+    sim_to_l1.run_config(c1p)
+    a = asdf_lite.open(d + "/L1.asdf")["roman"]["data"]
+    b = asdf_lite.open(str(tmp_path / "L1p.asdf"))["roman"]["data"]
+    act = (slice(4, -4), slice(4, -4))
+    assert np.median(b[-1][act].astype(np.float64)) > np.median(
+        a[-1][act].astype(np.float64)
+    ) + 100
+
+
 def test_extract_ref_variant(workdir, tmp_path):
     """EXTRACT_REF moves the reference read out of the cube."""
     d, scene, caldir, c1, c2 = workdir
