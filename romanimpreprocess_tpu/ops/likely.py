@@ -16,10 +16,21 @@ diagnostics.  Re-derived here TPU-first:
   ``var = K^T C K`` with ``C_P[a,b] = tau_a (a=b) | tbar_min(a,b)`` and
   ``C_R = diag(1/N)``, so per-pixel variances come from host-precomputed
   scalars plus one dot with the selected weight vector;
-- jump rejection reuses the pair-difference significances; pixels with
-  a jump are refit on the clean prefix (truncated GLS weights);
-- ``chisq`` is the sum of squared active pair significances;
-  ``dumo`` is the robust two-point ("dumb") slope diagnostic.
+- jump rejection reuses the pair-difference significances, **two-sided**
+  (the likelihood jump statistic is a chi^2 improvement, quadratic in
+  the difference — Brandt 2024, arXiv:2404.01326 — unlike the classic
+  weighted fitter's one-sided ``smap > sthresh`` cut, reference
+  ``utils/fitting.py:249-251``); pixels with a jump are refit on the
+  clean prefix (truncated GLS weights);
+- diagnostics follow the semantics the reference packages at
+  ``gen_cal_image.py:423-429`` (``ramp_fit_step.likely`` returns an
+  image model carrying ``dumo``/``chisq``) and ``:669-673``:
+  ``chisq`` is the goodness-of-fit of the ramp (here: mean squared
+  active pair significance, ~1 for a clean ramp), stored float16;
+  ``dumo`` is the "dumb" slope — the simple two-point
+  (last clean resultant − first) / Δtbar estimate, slope-like in DN/s,
+  so the driver flat-fields it before writing
+  (``gen_cal_image.py:669-671``), also stored float16.
 
 All data-dependent adaptivity is masked dense compute — one fused
 program, no per-pixel iteration.
@@ -211,6 +222,8 @@ def ramp_fit_likely(data, rdq, pdq, plan, gain, read_sigma, nborder=4):
     group_hits = [None] * ngrp
     chisq = jnp.zeros(shape, jnp.float32)
     npair_active = jnp.zeros(shape, jnp.float32)
+    best_s2 = jnp.zeros(shape, jnp.float32)
+    best_boundary = jnp.full(shape, ngrp, jnp.int32)
     for p, (i, di) in enumerate(plan.pairs):
         ds = (data[i + di] - data[i]) * plan.inv_dtbar[p] - slope
         dotP = jnp.einsum("tyx,t->yx", K_sel, jnp.asarray(plan.vP[p]))
@@ -225,8 +238,24 @@ def ramp_fit_likely(data, rdq, pdq, plan, gain, read_sigma, nborder=4):
         ) > 0.5
         chisq = chisq + jnp.where(act_p, s2, 0.0)
         npair_active = npair_active + act_p
-        hit = (s2 > thresh * thresh) & (ds > 0) & act_p & flag_ok
+        # Two-sided rejection: the likelihood fitter's jump statistic is
+        # the chi^2 improvement from masking a pair difference (Brandt
+        # 2024, arXiv:2404.01326), which is quadratic in ds and so flags
+        # negative outliers too.  (The classic weighted fitter is
+        # deliberately one-sided, reference utils/fitting.py:249-251 —
+        # ``smap > sthresh`` — since CR hits are positive; the two
+        # fitters differ here by design.)
+        hit = (s2 > thresh * thresh) & act_p & flag_ok
         group_hits[i] = hit if group_hits[i] is None else group_hits[i] | hit
+        if di == 1:
+            # jump localization: the most significant ADJACENT pair
+            # brackets the jump (a large jump contaminates the global
+            # slope, so every pair can exceed threshold; the spanning
+            # pair dominates).  Analog of romancal-likely's
+            # "mask the largest delta-chi^2 difference" iteration.
+            take = hit & (s2 > best_s2)
+            best_boundary = jnp.where(take, i, best_boundary)
+            best_s2 = jnp.where(take, s2, best_s2)
 
     jump_bits = jnp.stack(
         [
@@ -238,10 +267,13 @@ def ramp_fit_likely(data, rdq, pdq, plan, gain, read_sigma, nborder=4):
     rdq_out = rdq | jump_bits
 
     # --- refit jump-affected pixels on the clean prefix ---
-    jump_grp = jnp.full(shape, ngrp, jnp.int32)
+    # Prefer the argmax adjacent-pair boundary; if only wider (di=2)
+    # pairs tripped, fall back to the earliest hit group.
+    first_hit = jnp.full(shape, ngrp, jnp.int32)
     for i in reversed(range(ngrp)):
         if group_hits[i] is not None:
-            jump_grp = jnp.where(group_hits[i], i, jump_grp)
+            first_hit = jnp.where(group_hits[i], i, first_hit)
+    jump_grp = jnp.where(best_boundary < ngrp, best_boundary, first_hit)
     m_eff = jnp.minimum(firstsat, jump_grp + 1)
     refit_layer = (m_eff >= 3 + start) & (m_eff <= ngrp - 1)
     v_idx1 = jnp.where(refit_layer, m_eff - (3 + start), nvar - 1)

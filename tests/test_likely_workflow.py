@@ -57,15 +57,60 @@ def test_likelihood_path_end_to_end(tmp_path):
     err_l = np.asarray(rc["err"])
     assert np.isfinite(data_l[good]).all()
 
-    # median uncertainties comparable (reference: within 5%; allow 15%)
-    ratio = np.median(err_l[good]) / np.median(err_c[good])
-    assert 0.8 < ratio < 1.15, ratio
-    # mad-std of the normalized difference small (reference: < 0.05)
+    # median uncertainties within 5% (reference cross-fitter gate,
+    # test_workflow.py:690-696: 0.95 < ratio < 1.05)
+    for name, m_c, m_l in [
+        ("err", err_c, err_l),
+        ("var_poisson", np.asarray(a["var_poisson"]),
+         np.asarray(rc["var_poisson"])),
+    ]:
+        ratio = np.median(m_l[good]) / np.median(m_c[good])
+        assert 0.95 < ratio < 1.05, (name, ratio)
+    # the two fits agree well within their reported uncertainty
+    # (reference gate: mad_std((local-rc)/err) < 0.05)
     z = (data_l - data_c)[good] / np.maximum(err_c[good], 1e-5)
     mad = np.median(np.abs(z - np.median(z))) * 1.4826
-    assert mad < 0.25, mad
-    # cosmic-ray counts comparable
+    assert mad < 0.05, mad
+    # cosmic-ray counts comparable (reference: jump_rc < 2 * jump_local;
+    # the likelihood fitter is two-sided so it may flag a few more)
     j_c = ((np.asarray(a["dq"]) & pixel.JUMP_DET) != 0).sum()
     j_l = ((np.asarray(rc["dq"]) & pixel.JUMP_DET) != 0).sum()
     assert j_l > 0
-    assert 0.2 * j_c < j_l < 5 * max(j_c, 1), (j_c, j_l)
+    assert 0.5 * j_c <= j_l <= 2 * max(j_c, 1), (j_c, j_l)
+
+
+def test_likely_two_sided_jump(tmp_path):
+    """The likelihood fitter flags negative outliers too (two-sided
+    chi^2 statistic, Brandt 2024), unlike the one-sided classic fitter
+    (reference utils/fitting.py:249-251)."""
+    import jax.numpy as jnp
+
+    from romanimpreprocess_tpu.ops import likely, ramp
+
+    rp = [[0], [1], [2], [3], [4], [5], [6], [7]]
+    meta = ramp.ma_table_meta(rp, 3.04)
+    meta["nborder"] = 0
+    plan = likely.build_likely_plan(meta, exclude_first=False,
+                                    rejection_threshold=4.5)
+    ny = nx = 16
+    ngrp = len(rp)
+    t = meta["tbar"]
+    rng = np.random.default_rng(3)
+    slope_true = 5.0  # DN/s, high S/N so the outlier is unambiguous
+    data = slope_true * t[:, None, None] + rng.normal(
+        0, 0.5, (ngrp, ny, nx)
+    )
+    # a -200 DN step (e.g. cosmic ray in a reference-subtracted frame
+    # neighborhood) between groups 4 and 5 at one pixel
+    data[5:, 8, 8] -= 200.0
+    data = jnp.asarray(data, jnp.float32)
+    rdq = jnp.zeros((ngrp, ny, nx), jnp.uint32)
+    pdq = jnp.zeros((ny, nx), jnp.uint32)
+    gain = jnp.full((ny, nx), 1.5, jnp.float32)
+    sig = jnp.full((ny, nx), 0.5, jnp.float32)
+    out = likely.ramp_fit_likely(data, rdq, pdq, plan, gain, sig, nborder=1)
+    rdq_out = np.asarray(out[3])
+    assert (rdq_out[:, 8, 8] & pixel.JUMP_DET).any()
+    # and the refit on the clean prefix recovers the true slope
+    slope = np.asarray(out[0])
+    assert abs(slope[8, 8] - slope_true) < 0.5
