@@ -42,8 +42,43 @@ def unweighted_slopes(cube):
         for k in range(1, kmax):
             slp[count] += cube[k].astype(np.float64) * (k - ctr)
             den += (k - ctr) ** 2
-        slp[count] /= den
+        if den > 0:  # degenerate for very short ramps (kmax <= 2)
+            slp[count] /= den
     return slp.astype(np.float32)
+
+
+def group_exposures(files, nframes=None, exp_re=r"exp(\d+)_"):
+    """Group per-frame FITS paths into exposures, in time order.
+
+    The raw test-campaign convention (reference ``convert_dark.py:23-48``)
+    names frames ``..._exp{j}_...SCU{sca}...{frame-id}.fits``; the frame
+    id of a science frame ends in a hex character, while guide-window
+    interleaves do not and are dropped.  Returns a list of
+    (exposure_number, [files...]) sorted by exposure number, keeping
+    only groups with at least ``nframes`` frames (and truncating each
+    group to the first ``nframes`` when given, as the reference's
+    converters do with their N argument).
+    """
+    import re
+
+    groups = {}
+    for f in sorted(files):
+        name = f.split("/")[-1]
+        if not re.search(r"[0-9A-Fa-f]\.fits$", name):
+            continue  # guide-window file
+        m = re.search(exp_re, name)
+        if m is None:
+            continue
+        groups.setdefault(int(m.group(1)), []).append(f)
+    out = []
+    for j in sorted(groups):
+        g = groups[j]
+        if nframes is not None:
+            if len(g) < nframes:
+                continue
+            g = g[:nframes]
+        out.append((j, g))
+    return out
 
 
 def convert_exposure(frame_files, out_path, sca, frame_time=3.04, flip=True):

@@ -161,6 +161,28 @@ def production(tmp_path_factory):
     return d, sca, caldir, dark_slope_true
 
 
+def test_group_exposures():
+    """Exposure grouping follows the raw-campaign naming convention
+    (reference convert_dark.py:23-48): group by the exp{j}_ token, drop
+    guide-window frames (frame id not ending in hex), truncate to N."""
+    files = []
+    for j in (2, 1, 3):
+        for k in range(4):
+            files.append(f"/raw/Total_Noise_exp{j}_SCU07_000{k:x}.fits")
+        files.append(f"/raw/Total_Noise_exp{j}_SCU07_gw.fits")  # dropped
+    files.append("/raw/README.txt.fits-no-exp")  # no exp token -> dropped
+    groups = convert.group_exposures(files, nframes=3)
+    assert [g[0] for g in groups] == [1, 2, 3]
+    for _, g in groups:
+        assert len(g) == 3
+        assert all("gw" not in f for f in g)
+    # exposures shorter than nframes are skipped
+    short = [f"/raw/D_exp9_SCU07_000{k:x}.fits" for k in range(2)]
+    assert convert.group_exposures(short, nframes=3) == []
+    # without nframes, full groups come back
+    assert len(convert.group_exposures(files)[0][1]) == 4
+
+
 def test_convert_roundtrip(production):
     d, sca, caldir, dark_slope_true = production
     hdus = fits_lite.open_fits(f"{d}/99999999_SCA{sca:02d}_Noise_001.fits")
