@@ -35,6 +35,7 @@ import numpy as np
 from .. import pars
 from ..config import layer_subscript, load_config
 from ..galpoisson import draw_from_pearson, get_tilde_nus
+from ..galpoisson.pearson_jax import draw_from_pearson_jax
 from ..io import asdf_lite, calfiles, fits_lite
 from ..ops import rand, sky
 from . import l1_to_l2, sim_to_l1
@@ -218,20 +219,47 @@ def make_noise_cube(config, seed=None):
             a_beta = np.array([g[0] for g in read_pattern])
             N_beta = np.array([len(g) for g in read_pattern])
 
-            noise_array = np.zeros((na, na), dtype=np.float32)
+            # per-endslice-class tilde-nus (tiny host linalg); the
+            # draw itself runs on device for every class in one jitted
+            # program (SURVEY.md §7.5) unless PEARSON_BACKEND=host
+            tilnus = {}
             for i in range(start + 1, ngrp):
                 if weightvecs[i] is None:
                     continue
                 t21, t31, t41, t42 = get_tilde_nus(N_beta, a_beta, weightvecs[i])
-                t21 *= frame_time
-                t31 *= frame_time**2
-                t41 *= frame_time**3
-                pix = np.where(endslice == i)
-                if len(pix[0]) == 0:
-                    continue
-                noise_array[pix] = draw_from_pearson(
-                    t21, t31, t41, gI[pix], rng=rng
-                )
+                tilnus[i] = (t21 * frame_time, t31 * frame_time**2,
+                             t41 * frame_time**3)
+
+            backend = str(
+                config.get("NOISE", {}).get("PEARSON_BACKEND", "jax")
+            )
+            if backend == "host":
+                noise_array = np.zeros((na, na), dtype=np.float32)
+                for i, (t21, t31, t41) in tilnus.items():
+                    pix = np.where(endslice == i)
+                    if len(pix[0]) == 0:
+                        continue
+                    noise_array[pix] = draw_from_pearson(
+                        t21, t31, t41, gI[pix], rng=rng
+                    )
+            else:
+                # per-pixel tilnu maps by endslice class (host
+                # metadata-scale select; classes <= ngrp)
+                t21m = np.zeros((na, na), np.float32)
+                t31m = np.zeros((na, na), np.float32)
+                t41m = np.full((na, na), -1.0, np.float32)  # inadmissible
+                hasw = np.zeros((na, na), bool)
+                for i, (t21, t31, t41) in tilnus.items():
+                    sel = endslice == i
+                    t21m[sel], t31m[sel], t41m[sel] = t21, t31, t41
+                    hasw[sel] = True
+                t21m[~hasw] = 1.0  # keep beta formulas finite
+                noise_array = np.asarray(
+                    draw_from_pearson_jax(
+                        jax.random.fold_in(lkey, 2), t21m, t31m, t41m,
+                        jnp.asarray(gI, jnp.float32),
+                    )
+                ) * hasw
             diff += noise_array / gain_a
 
         if "P" in cmd:

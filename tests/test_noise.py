@@ -87,6 +87,27 @@ def test_noise_poisson_layer_tracks_signal(noisedir):
     assert x[hi].std() > 1.5 * x[lo].std()
 
 
+def test_noise_o_layer_backends_agree(noisedir, tmp_path):
+    """The device (jax) and host Pearson backends produce 'O' layers
+    with matching spread (same tilde-nus, same endslice classes)."""
+    d, c2 = noisedir
+    l2 = asdf_lite.open(d + "/L2.asdf")
+    good = np.asarray(l2["roman"]["dq"]) == 0
+    spreads = {}
+    for backend in ("jax", "host"):
+        c3 = dict(c2)
+        c3["NOISE"] = dict(
+            c2["NOISE"], LAYER=["O"], PEARSON_BACKEND=backend,
+            OUT=str(tmp_path / f"o_{backend}.asdf"),
+        )
+        cube = noise.make_noise_cube(c3)
+        x = cube[0][good]
+        spreads[backend] = np.percentile(x, 95) - np.percentile(x, 5)
+        assert abs(np.median(x)) < 0.3
+    ratio = spreads["jax"] / spreads["host"]
+    assert 0.9 < ratio < 1.1, spreads
+
+
 def test_noise_precision16(noisedir, tmp_path):
     d, c2 = noisedir
     c3 = dict(c2)
