@@ -1,19 +1,30 @@
 """Fast branch-free Poisson sampling for TPU.
 
 ``jax.random.poisson`` costs ~3.6 ns/sample on v5e (per-sample rejection
-with while-loop control flow) — ~850 ms per full-frame exposure draw,
-85% of the L1 synthesis budget.  This sampler is fixed-trip-count and
-fully vectorized:
+with while-loop control flow) — ~850 ms per full-frame exposure draw.
+This sampler is fixed-trip-count and fully vectorized:
 
-- lam <= 10: exact inverse-CDF by a fixed 40-step recurrence
-  (P(X > 40 | lam <= 10) < 1e-13), pure fused multiply-adds;
+- lam <= 10: exact inverse-CDF by a fixed recurrence (40 steps; 18 when
+  no lane in the chunk exceeds lam 3.5 — a scalar ``lax.cond``, so the
+  sky-dominated regime pays the short loop), pure fused multiply-adds;
 - lam > 10: Hormann's PTRS transformed rejection with a fixed number of
   unrolled rounds (acceptance ~0.94/round, 6 rounds leave < 1e-7
   unfilled), falling back to a moment-matched rounded normal for any
-  straggler lane.
+  straggler lane.  The acceptance test's log-factorial is a Stirling
+  series + small-integer table instead of ``lax.lgamma`` (~3x fewer
+  VPU ops, error < 1e-5 in the log — far below the acceptance-noise
+  floor).  A chunk with no lane above lam 10 skips PTRS entirely
+  (scalar ``lax.cond``).
 
-Both branches evaluate masked-dense (no data-dependent control flow);
-distribution-exactness is tested against the scipy pmf.
+Multi-frame draws at a shared rate map (the sim's per-read increments,
+``sim_to_l1._accumulate_resultants``) reuse one CDF recurrence and one
+set of PTRS constants across all frames in a chunk: the per-read
+marginal cost is just the compare-accumulate sweep.  This took the
+full-frame 14-read draw from 190 ms to well under half (profile:
+``tools/profile_sim.py``).
+
+Distribution-exactness is tested against the scipy pmf
+(``tests/test_ops.py::test_custom_poisson_distribution``).
 """
 
 import functools
@@ -36,28 +47,58 @@ def sim_key(seed):
 
 SMALL_LAM_MAX = 10.0
 SMALL_STEPS = 40
+#: short-recurrence tier: P(X > 18 | lam <= 3.5) < 4e-10
+SMALL_LAM_LO = 3.5
+SMALL_STEPS_LO = 18
 PTRS_ROUNDS = 6
 
+_HALF_LOG_2PI = 0.9189385332046727
+_LOG_FACT = (0.0, 0.0, 0.6931471805599453, 1.791759469228055,
+             3.1780538303479458, 4.787491742782046, 6.579251212010101)
 
-def _poisson_small(u, lam):
-    """Exact inverse-CDF for lam <= SMALL_LAM_MAX (branch-free)."""
+
+def _lgamma1p(x):
+    """log(x!) for non-negative integer-valued float x: Stirling series
+    for x >= 7 (|err| < 1e-5), exact select-chain table below."""
+    xs = jnp.maximum(x, 7.0)
+    inv = 1.0 / xs
+    big = (
+        (xs + 0.5) * jnp.log(xs) - xs + _HALF_LOG_2PI
+        + inv * ((1.0 / 12.0) - (1.0 / 360.0) * inv * inv)
+    )
+    small = jnp.zeros_like(x)
+    for k in range(2, 7):
+        small = jnp.where(x > k - 0.5, _LOG_FACT[k], small)
+    return jnp.where(x < 6.5, small, big)
+
+
+def _poisson_small(u, lam, steps):
+    """Exact inverse-CDF for lam <= SMALL_LAM_MAX (branch-free).
+
+    ``u`` may have leading frame axes over ``lam``'s shape; the pmf
+    recurrence runs once on ``lam`` and only the compare-accumulate
+    broadcasts."""
     p = jnp.exp(-lam)  # P(X = 0)
     cum = p
-    k = jnp.zeros_like(lam)
-    for i in range(1, SMALL_STEPS + 1):
+    k = jnp.zeros_like(u)
+    for i in range(1, steps + 1):
         k = k + (u > cum)
-        p = p * lam / i
+        p = p * (lam * (1.0 / i))
         cum = cum + p
     return k
 
 
 def _poisson_ptrs(key, lam, shape):
-    """PTRS transformed rejection (Hormann 1993), fixed unrolled rounds."""
+    """PTRS transformed rejection (Hormann 1993), fixed unrolled rounds.
+
+    ``lam`` broadcasts to ``shape``; the per-lam constants are computed
+    on ``lam``'s own (possibly smaller) shape."""
     log_lam = jnp.log(lam)
     b = 0.931 + 2.53 * jnp.sqrt(lam)
     a = -0.059 + 0.02483 * b
     inv_alpha = 1.1239 + 1.1328 / (b - 3.4)
     v_r = 0.9277 - 3.6224 / (b - 2.0)
+    log_inv_alpha = jnp.log(inv_alpha)
 
     out = jnp.zeros(shape, jnp.float32)
     filled = jnp.zeros(shape, bool)
@@ -71,10 +112,10 @@ def _poisson_ptrs(key, lam, shape):
         fast = (us >= 0.07) & (v <= v_r)
         # immediate rejection
         bad = (cand < 0) | ((us < 0.013) & (v > us))
-        # full acceptance test
+        # full acceptance test (Stirling log-factorial)
         log_acc = (
-            jnp.log(v * inv_alpha / (a / (us * us) + b))
-            <= cand * log_lam - lam - jax.lax.lgamma(cand + 1.0)
+            jnp.log(v) + log_inv_alpha - jnp.log(a / (us * us) + b)
+            <= cand * log_lam - lam - _lgamma1p(cand)
         )
         accept = fast | (~bad & log_acc)
         out = jnp.where(~filled & accept, cand, out)
@@ -93,14 +134,30 @@ def _poisson_ptrs(key, lam, shape):
 CHUNK_ELEMS = 1 << 27
 
 
-def _poisson_masked(key, lam_b):
+def _poisson_masked(key, lam, shape):
+    """One draw of ``shape`` at rate ``lam`` (broadcastable to shape).
+
+    Chunk-level adaptivity via scalar conds: skip PTRS when no lane is
+    above SMALL_LAM_MAX; use the short CDF recurrence when no small
+    lane is above SMALL_LAM_LO."""
     k_small, k_big = jax.random.split(key)
-    u = jax.random.uniform(k_small, lam_b.shape)
-    small = _poisson_small(u, jnp.minimum(lam_b, SMALL_LAM_MAX))
-    big = _poisson_ptrs(
-        k_big, jnp.maximum(lam_b, SMALL_LAM_MAX + 1e-3), lam_b.shape
+    u = jax.random.uniform(k_small, shape)
+    lam_s = jnp.minimum(lam, SMALL_LAM_MAX)
+    small = jax.lax.cond(
+        jnp.max(lam_s) > SMALL_LAM_LO,
+        lambda: _poisson_small(u, lam_s, SMALL_STEPS),
+        lambda: _poisson_small(u, lam_s, SMALL_STEPS_LO),
     )
-    return jnp.where(lam_b <= SMALL_LAM_MAX, small, big)
+    big = jax.lax.cond(
+        jnp.any(lam > SMALL_LAM_MAX),
+        lambda: _poisson_ptrs(
+            k_big, jnp.maximum(lam, SMALL_LAM_MAX + 1e-3), shape
+        ),
+        lambda: jnp.zeros(shape, jnp.float32),
+    )
+    return jnp.where(
+        jnp.broadcast_to(lam <= SMALL_LAM_MAX, shape), small, big
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("shape",))
@@ -109,8 +166,11 @@ def poisson(key, lam, shape=None):
 
     ``lam`` broadcasts to ``shape``; exact for lam <= 10, PTRS-exact
     above (with a vanishing moment-matched fallback).  Large draws are
-    chunked over the leading axis (distinct per-slice keys), bounding
-    peak HBM at ~1 output buffer + 1 slice of intermediates.
+    chunked over the leading axis (distinct per-chunk keys), bounding
+    peak HBM at ~1 output buffer + 1 chunk of intermediates.  When
+    ``lam`` is shared across the leading (frame) axis — the sim's
+    per-read increments — each chunk reuses one set of pmf/PTRS
+    constants for all its frames.
     """
     lam = jnp.asarray(lam, jnp.float32)
     if shape is None:
@@ -119,13 +179,24 @@ def poisson(key, lam, shape=None):
     for s in shape:
         size *= s
     if size > CHUNK_ELEMS and len(shape) >= 2 and shape[0] > 1:
-        keys = jax.random.split(key, shape[0])
+        nlead = shape[0]
         if lam.shape == tuple(shape):
+            keys = jax.random.split(key, nlead)
             return jax.lax.map(
-                lambda kl: _poisson_masked(kl[0], kl[1]), (keys, lam)
+                lambda kl: _poisson_masked(kl[0], kl[1], shape[1:]),
+                (keys, lam),
             )
-        lam_inner = jnp.broadcast_to(lam, shape[1:])
-        return jax.lax.map(
-            lambda k: _poisson_masked(k, lam_inner), keys
-        )
-    return _poisson_masked(key, jnp.broadcast_to(lam, shape))
+        # shared-rate frames: chunk several frames per step so the
+        # constants amortize (python loop — nlead is static and small)
+        per = max(1, int(CHUNK_ELEMS // max(size // nlead, 1)))
+        chunks = []
+        for i, start in enumerate(range(0, nlead, per)):
+            rc = min(per, nlead - start)
+            chunks.append(
+                _poisson_masked(
+                    jax.random.fold_in(key, i), lam,
+                    (rc,) + tuple(shape[1:]),
+                )
+            )
+        return jnp.concatenate(chunks, axis=0)
+    return _poisson_masked(key, lam, shape)

@@ -114,21 +114,30 @@ def _poisson_resample_layer(key, e_per_slice, gain, read_pattern, weightvecs,
     )
 
 
-def make_noise_cube(config, seed=None):
-    """Build the (N_layers, nside_active, nside_active) noise cube."""
+def make_noise_cube(config, seed=None, *, pack=None, base_l1=None,
+                    base_l2=None):
+    """Build the (N_layers, nside_active, nside_active) noise cube.
+
+    ``pack`` / ``base_l1`` / ``base_l2`` may be passed in memory (the
+    bench and in-process pipelines use this); by default they load from
+    the config's CALDIR / IN / OUT paths as in the reference.
+    """
     seed = int(config["NOISE"]["SEED"] if seed is None else seed)
     key = rand.sim_key(seed)
     rng = np.random.default_rng(seed)
 
-    pack = calfiles.load_caldir_cached(config["CALDIR"])
+    if pack is None:
+        pack = calfiles.load_caldir_cached(config["CALDIR"])
     nside = pack.nside
     nb = pars.nborder
     na = nside - 2 * nb
     act = slice(nb, nside - nb)
     area_factor = l1_to_l2.area_factor_from_config(config, nside)
 
-    base_l1 = asdf_lite.open(config["IN"])["roman"]
-    base_l2 = asdf_lite.open(config["OUT"])
+    if base_l1 is None:
+        base_l1 = asdf_lite.open(config["IN"])["roman"]
+    if base_l2 is None:
+        base_l2 = asdf_lite.open(config["OUT"])
     if "endslice" not in base_l2["processinfo"]:
         raise ValueError(
             "noise generation requires the base L2 run with SLICEOUT=True"
