@@ -61,6 +61,10 @@ def main():
     # --- secondary: sim -> L1 synthesis (BASELINE config #1) ---
     dt_sim = _bench_sim(jax, jnp, functools, benchlib, nside)
 
+    # --- secondary: full production exposure in ONE program:
+    # sim -> L1 -> L2 -> noise layers Rz4S2 / O / PbrS2 ---
+    dt_exp = _bench_exposure(jax, jnp, functools, benchlib, nside)
+
     npix = (nside - 8) ** 2
     budget_s = 8.0 / 18.0  # per-chip share of the 18-SCA < 1 s north star
     result = {
@@ -73,9 +77,55 @@ def main():
             "mpix_per_s": round(npix / dt / 1e6, 1),
             "fpa_18sca_proj_s_on_8chip": round(dt * 18 / 8, 3),
             "sim_l1_synthesis_ms": round(dt_sim * 1e3, 3),
+            "exposure_sim_l2_noise3_ms": round(dt_exp * 1e3, 3),
+            "exposure_layers": "Rz4S2+O+PbrS2",
+            "fpa_18sca_exposure_proj_s_on_8chip": round(dt_exp * 18 / 8, 3),
         },
     }
     print(json.dumps(result))
+
+
+def _bench_exposure(jax, jnp, functools, benchlib, nside):
+    """Time the single-program production exposure: L1 synthesis +
+    refdata/1-f fill + L1->L2 calibration + noise layers
+    ['Rz4S2', 'O', 'PbrS2'] (the reference's per-exposure workload,
+    ``OpenUniverse_to_L1L2.py:155-169``)."""
+    from romanimpreprocess_tpu.ops import rand
+    from romanimpreprocess_tpu.pipeline import noise_core
+
+    arr, prep, pack = benchlib.exposure_bundle(nside=nside)
+    prep = dict(
+        prep,
+        cfg=dict(prep["cfg"], ipc_pallas=True, lin_pallas=True,
+                 med_pallas=True),
+    )
+    run = noise_core.make_full_exposure_core(prep, pack, ["Rz4S2", "O", "PbrS2"])
+    arrs = {k: jax.device_put(jnp.asarray(v)) for k, v in arr.items()}
+
+    @functools.partial(jax.jit, static_argnums=2)
+    def chained(key, arrs_d, n):
+        def body(carry, _):
+            k = jax.random.fold_in(carry, 0)
+            cube, base = run(k, arrs_d)
+            k = jax.random.fold_in(
+                k, (cube[0, 0, 0] * 0).astype(jnp.int32) + 1
+            )
+            return k, cube[0, 0, 0]
+
+        _, ss = jax.lax.scan(body, key, None, length=n)
+        return ss
+
+    key = rand.sim_key(5)
+    n_lo, n_hi = 1, 3
+    jax.device_get(chained(key, arrs, n_lo))
+    jax.device_get(chained(key, arrs, n_hi))
+    t0 = time.perf_counter()
+    jax.device_get(chained(key, arrs, n_lo))
+    t_lo = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    jax.device_get(chained(key, arrs, n_hi))
+    t_hi = time.perf_counter() - t0
+    return (t_hi - t_lo) / (n_hi - n_lo)
 
 
 def _bench_sim(jax, jnp, functools, benchlib, nside):

@@ -103,6 +103,55 @@ def synth_l1_cube(cal, read_pattern, seed=7, rate_dn_s=1.0):
     return np.clip(np.round(data), 0, 65535).astype(np.uint16)
 
 
+def exposure_bundle(nside=4096, read_pattern=None, seed=1000,
+                    frame_time=3.04, nborder=4, skyorder=2):
+    """(arr, prep-like dict, CalPack) for the fused exposure noise core
+    (``pipeline.noise_core.make_exposure_noise_core``)."""
+    from .io.calfiles import CalPack
+
+    read_pattern = read_pattern or READ_PATTERN_DEFAULT
+    arr, plan, cfg, geom = core_bundle(
+        nside, read_pattern, seed, frame_time, nborder, skyorder
+    )
+    cal = synth_cal_arrays(nside, read_pattern, seed, frame_time, nborder)
+    cw = cal["channelwidth"]
+    pack = CalPack(
+        dark_cube=cal["dark_cube"], dark_slope=cal["dark_slope"],
+        gain=cal["gain"], read_sigma=cal["read_sigma"],
+        resetnoise=cal["resetnoise"], u_pink=0.4, c_pink=0.8,
+        amp33_valid=True, amp33_med=cal["amp33_med"],
+        amp33_std=np.full((nside, cw), 5.0, np.float32),
+        amp33_m_pink=0.8, amp33_ru_pink=1.0,
+        ipc_kernel=cal["ipc_kernel"], lin_coefs=cal["lin_coefs"],
+        lin_smin=cal["lin_smin"], lin_smax=cal["lin_smax"],
+        lin_sref=cal["lin_sref"], lin_dq=cal["lin_dq"],
+        flat=cal["flat"], mask_dq=cal["mask_dq"],
+        saturation=cal["saturation"], saturation_dq=cal["saturation_dq"],
+    )
+    meta = ramp.ma_table_meta(read_pattern, frame_time)
+    # sim-side active slices + fill aux for the full-exposure core
+    nb = nborder
+    act = np.s_[nb : nside - nb, nb : nside - nb]
+    na = nside - 2 * nb
+    arr = dict(
+        arr,
+        rate=np.full((na, na), 3.0, np.float32),
+        gain_act=cal["gain"][act],
+        resetnoise_act=cal["resetnoise"][act],
+        read_sigma_act=cal["read_sigma"][act],
+        dark_slope_act=cal["dark_slope"][act],
+        biascorr_t0=np.float32(0.0),
+        fill_resetnoise=cal["resetnoise"],
+        fill_amp33_std=np.full((nside, cw), 5.0, np.float32),
+    )
+    prep = dict(
+        arr=arr, plan=plan, cfg=cfg, geom=geom,
+        read_pattern=[list(g) for g in read_pattern],
+        frame_time=frame_time, meta=meta, weights_out=plan.W[-1],
+    )
+    return arr, prep, pack
+
+
 def core_bundle(nside=4096, read_pattern=None, seed=1000, frame_time=3.04,
                 nborder=4, skyorder=2):
     """(arr dict, plan, cfg, geom) ready for ``l1_to_l2.make_core``."""

@@ -26,7 +26,6 @@ Layer commands (capital letter + lower-case/numeric arguments):
 """
 
 import sys
-from copy import deepcopy
 
 import jax
 import jax.numpy as jnp
@@ -43,31 +42,41 @@ from . import l1_to_l2, sim_to_l1
 _medfit_j = jax.jit(sky.medfit, static_argnames=("N", "order"))
 
 
-def _weightvecs_and_endslice(processinfo, ngrp):
-    """Per-endslice ramp-fit weight vectors + clipped endslice map
-    (reference ``gen_noise_image.py:185-208``)."""
-    meta = processinfo["meta"]
-    start = 1 if processinfo["exclude_first"] else 0
+def weightvec_table(tbar, weights_last, ngrp, exclude_first):
+    """Per-endslice ramp-fit weight vectors (reference
+    ``gen_noise_image.py:185-208``): the full-ramp optimal weights for
+    the last slice, two-point CDS-style vectors for truncated ramps."""
+    start = 1 if exclude_first else 0
     weightvecs = [None] * ngrp
-    weightvecs[ngrp - 1] = np.asarray(processinfo["weights"], np.float32)
-    tbar = np.asarray(meta["tbar"], np.float64)
+    weightvecs[ngrp - 1] = np.asarray(weights_last, np.float32)
+    tbar = np.asarray(tbar, np.float64)
     for iend in range(start + 2, ngrp):
         Kt = np.zeros(ngrp, dtype=np.float32)
         Kt[iend - 1] = 1.0 / (tbar[iend - 1] - tbar[start])
         Kt[start] = -Kt[iend - 1]
         weightvecs[iend - 1] = Kt
+    return weightvecs, start
+
+
+def _weightvecs_and_endslice(processinfo, ngrp):
+    """Weight vectors + clipped endslice map from a base-L2 tree."""
+    weightvecs, start = weightvec_table(
+        processinfo["meta"]["tbar"], processinfo["weights"], ngrp,
+        processinfo["exclude_first"],
+    )
     endslice = np.asarray(processinfo["endslice"])
     endslice = np.where(endslice > 0, endslice, ngrp - 1)
     return weightvecs, endslice, start
 
 
-def _poisson_resample_layer(key, e_per_slice, gain, read_pattern, weightvecs,
-                            endslice, ngrp):
-    """Per-raw-read Poisson resampling contracted by per-pixel endslice
-    weights (reference 'P...r', ``gen_noise_image.py:268-322``), jitted.
-    """
+def resample_traced(key, e_exp, gain_d, endslice_d, read_pattern,
+                    weightvecs, ngrp):
+    """Trace-level per-raw-read Poisson resampling contracted by
+    per-pixel endslice weights (reference 'P...r',
+    ``gen_noise_image.py:268-322``).  ``read_pattern``/``weightvecs``
+    are static; call under jit."""
     lastsamp = read_pattern[-1][-1]
-    n = e_per_slice.shape[0]
+    n = e_exp.shape[0]
 
     g_of_r = np.full(lastsamp + 1, ngrp, np.int32)
     wgt = np.zeros(lastsamp + 1, np.float32)
@@ -75,39 +84,53 @@ def _poisson_resample_layer(key, e_per_slice, gain, read_pattern, weightvecs,
         for r in grp:
             g_of_r[r] = j
             wgt[r] = 1.0 / len(grp)
+    g_of_r_d = jnp.asarray(g_of_r)
+    wgt_d = jnp.asarray(wgt)
 
-    W = np.zeros((ngrp, ngrp), np.float32)  # W[es, j]
+    def body(r, carry):
+        cum, dres = carry
+        kk = jax.random.fold_in(key, r)
+        sample = (rand.poisson(kk, e_exp) - e_exp) / gain_d
+        cum = cum + sample
+        dres = dres.at[g_of_r_d[r]].add(cum * wgt_d[r], mode="drop")
+        return cum, dres
+
+    cum0 = jnp.zeros((n, n), jnp.float32)
+    dres0 = jnp.zeros((ngrp + 1, n, n), jnp.float32)
+    _, dres = jax.lax.fori_loop(0, lastsamp + 1, body, (cum0, dres0))
+    dres = dres[:ngrp]
+    # per-pixel weight selection by endslice (select-chain, no gather)
+    out = jnp.zeros((n, n), jnp.float32)
     for es in range(ngrp):
-        if weightvecs[es] is not None:
-            W[es] = weightvecs[es]
+        if weightvecs[es] is None:
+            continue
+        contrib = jnp.tensordot(jnp.asarray(weightvecs[es]), dres, axes=1)
+        out = out + jnp.where(endslice_d == es, contrib, 0.0)
+    return out
 
-    @jax.jit
-    def run(e_exp, gain_d, endslice_d, k):
-        g_of_r_d = jnp.asarray(g_of_r)
-        wgt_d = jnp.asarray(wgt)
 
-        def body(r, carry):
-            cum, dres = carry
-            kk = jax.random.fold_in(k, r)
-            sample = (rand.poisson(kk, e_exp) - e_exp) / gain_d
-            cum = cum + sample
-            dres = dres.at[g_of_r_d[r]].add(cum * wgt_d[r], mode="drop")
-            return cum, dres
+_RESAMPLE_CACHE = {}
 
-        cum0 = jnp.zeros((n, n), jnp.float32)
-        dres0 = jnp.zeros((ngrp + 1, n, n), jnp.float32)
-        _, dres = jax.lax.fori_loop(0, lastsamp + 1, body, (cum0, dres0))
-        dres = dres[:ngrp]
-        # per-pixel weight selection by endslice (select-chain, no gather)
-        Wd = jnp.asarray(W)
-        out = jnp.zeros((n, n), jnp.float32)
-        for es in range(ngrp):
-            if weightvecs[es] is None:
-                continue
-            contrib = jnp.tensordot(Wd[es], dres, axes=1)
-            out = out + jnp.where(endslice_d == es, contrib, 0.0)
-        return out
 
+def _poisson_resample_layer(key, e_per_slice, gain, read_pattern, weightvecs,
+                            endslice, ngrp):
+    """Host entry for the 'P...r' layer: cached jit over
+    :func:`resample_traced` (re-jitting per call would recompile)."""
+    rp_t = tuple(tuple(g) for g in read_pattern)
+    wv_t = tuple(
+        None if w is None else tuple(np.asarray(w, np.float32).tolist())
+        for w in weightvecs
+    )
+    cache_key = (rp_t, wv_t, ngrp, e_per_slice.shape)
+    if cache_key not in _RESAMPLE_CACHE:
+        wv = [None if w is None else np.asarray(w, np.float32)
+              for w in wv_t]
+        _RESAMPLE_CACHE[cache_key] = jax.jit(
+            lambda e, g, es, k: resample_traced(
+                k, e, g, es, [list(t) for t in rp_t], wv, ngrp
+            )
+        )
+    run = _RESAMPLE_CACHE[cache_key]
     return np.asarray(
         run(jnp.asarray(e_per_slice), jnp.asarray(gain),
             jnp.asarray(endslice), key)
@@ -159,7 +182,9 @@ def make_noise_cube(config, seed=None, *, pack=None, base_l1=None,
 
     for i_noise, cmd in enumerate(layers):
         lkey = jax.random.fold_in(key, i_noise)
-        mytree = deepcopy(dict(base_l1))
+        # shallow copy: layers only REASSIGN top-level keys (data,
+        # amp33); a deepcopy would memcpy the ~1 GB cube per layer
+        mytree = dict(base_l1)
         diff = np.zeros((na, na), dtype=np.float32)
 
         if "R" in cmd:

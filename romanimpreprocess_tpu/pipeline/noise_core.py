@@ -1,0 +1,259 @@
+"""Fused on-device exposure noise program.
+
+One jitted XLA program computes a full production-exposure noise stack:
+base L1->L2 calibration plus every noise layer ('R' re-entries of the
+calibration core, device Pearson 'O' draws, per-raw-read Poisson 'P'
+resampling, 'S' sky removal) without the cube ever leaving HBM.
+
+The reference's noise engine re-enters the file-driven pipeline through
+temp files (2-3 full round trips per 'R' layer,
+``gen_noise_image.py:114-154``); the host path here
+(:mod:`.noise`) already replaces that with in-memory function calls,
+and this module goes one step further for production/benchmark use: the
+whole layer stack is a single device program, so a multi-layer exposure
+costs zero host<->device transfers beyond the final (nlayers, na, na)
+cube.  Statistical content of every layer matches the host engine
+(gated by ``tests/test_noise_core.py``).
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import layer_subscript
+from ..galpoisson import get_tilde_nus
+from ..galpoisson.pearson_jax import draw_from_pearson_jax
+from ..ops import sky
+from . import l1_to_l2, sim_to_l1
+from .noise import resample_traced, weightvec_table
+
+
+def fill_aux_arrays(pack, geom):
+    """Host-side extra arrays the fused cores need beyond the L1->L2
+    bundle (passed as jit ARGUMENTS — closing full frames over the jit
+    embeds them as constants and blows the remote-compile payload)."""
+    nside, nb, cw = geom
+    return {
+        "fill_resetnoise": np.asarray(pack.resetnoise, np.float32),
+        "fill_amp33_std": (
+            np.asarray(pack.amp33_std, np.float32)
+            if pack.amp33_std is not None
+            else np.zeros((nside, cw), np.float32)
+        ),
+    }
+
+
+def make_exposure_noise_core(prep, pack, layers, config=None, jit=True):
+    """Build the fused (base L2 + noise layers) device core.
+
+    ``prep`` is :func:`l1_to_l2.prepare_inputs` output for the base L1
+    tree; ``layers`` is the NOISE LAYER command list (static).  Returns
+    ``run(key, arrs) -> (noise_cube (nlayers, na, na), base_out)`` —
+    jitted unless ``jit=False`` (trace-level, for embedding in a larger
+    program); ``arrs`` is ``prep["arr"]`` staged to device.
+    """
+    config = config or {}
+    plan, cfg, geom = prep["plan"], prep["cfg"], prep["geom"]
+    nside, nb, cw = geom
+    na = nside - 2 * nb
+    act = slice(nb, nside - nb)
+    read_pattern = prep["read_pattern"]
+    frame_time = float(prep["frame_time"])
+    ngrp = len(read_pattern)
+    nvec = np.asarray([len(g) for g in read_pattern], np.float32)
+
+    core = l1_to_l2.make_core(plan, cfg, geom)
+
+    # static per-endslice weight vectors + tilde-nus
+    weightvecs, start = weightvec_table(
+        prep["meta"]["tbar"], prep["weights_out"], ngrp,
+        cfg["exclude_first"],
+    )
+    a_beta = np.array([g[0] for g in read_pattern])
+    N_beta = np.array([len(g) for g in read_pattern])
+    tilnus = {}
+    for i in range(start + 1, ngrp):
+        if weightvecs[i] is None:
+            continue
+        t21, t31, t41, _ = get_tilde_nus(N_beta, a_beta, weightvecs[i])
+        tilnus[i] = (
+            float(t21 * frame_time),
+            float(t31 * frame_time**2),
+            float(t41 * frame_time**3),
+        )
+
+    do_amp33 = cfg["use_amp33"]
+    fillcore = sim_to_l1._fill_core_factory(
+        tuple(len(g) for g in read_pattern), nside, cw, nb, True,
+        bool(do_amp33), float(pack.c_pink), float(pack.u_pink),
+        float(pack.amp33_m_pink), float(pack.amp33_ru_pink),
+        im_is_active=False,
+    )
+    def _layer_R(lkey, cmd, arrs, base, endslice_c):
+        flags = layer_subscript(cmd, "R")
+        if "a" not in flags:
+            # reference run: dark cube pushed through the pipeline
+            # (uint16-quantized exactly as the host engine writes it)
+            data_ref = jnp.clip(arrs["dark_cube"], 0, 65535).astype(
+                jnp.uint16
+            )
+            ref_out = core(dict(arrs, data=data_ref))
+            orig = ref_out["slope"][act, act]
+            src = data_ref.astype(jnp.float32)
+        else:
+            orig = base["slope"][act, act]
+            src = arrs["data"].astype(jnp.float32)
+
+        kw, kf = jax.random.split(jax.random.fold_in(lkey, 0))
+        white = (
+            jax.random.normal(kw, (ngrp, na, na))
+            * arrs["read_sigma"][act, act][None]
+            / jnp.sqrt(jnp.asarray(nvec))[:, None, None]
+        )
+        src = src.at[:, act, act].set(
+            jnp.clip(jnp.round(src[:, act, act] + white), 0, 65535)
+        )
+        im_u16, amp33_u16 = fillcore(
+            kf,
+            {
+                "im": src,
+                "read_sigma": arrs["read_sigma"],
+                "resetnoise": arrs["fill_resetnoise"],
+                "dark_cube": arrs["dark_cube"],
+                "amp33_med": arrs["amp33_med"],
+                "amp33_std": arrs["fill_amp33_std"],
+            },
+        )
+        new_arrs = dict(arrs, data=im_u16)
+        if do_amp33:
+            new_arrs["amp33"] = amp33_u16.astype(jnp.float32)
+        new_out = core(new_arrs)
+        diff = new_out["slope"][act, act] - orig
+
+        if "z" in flags:
+            zclip = float(layer_subscript(flags.upper(), "Z"))
+            q25, med, q75 = jnp.percentile(
+                diff, jnp.asarray([25.0, 50.0, 75.0])
+            )
+            iqr = q75 - q25
+            diff = jnp.clip(
+                diff,
+                med - zclip * iqr / 1.34896,
+                med + zclip * iqr / 1.34896,
+            )
+        return diff
+
+    def _layer_O(lkey, arrs, base, endslice_c, gain_a):
+        gI = gain_a * base["slope_withsky"][act, act]
+        t21m = jnp.ones((na, na), jnp.float32)
+        t31m = jnp.zeros((na, na), jnp.float32)
+        t41m = jnp.full((na, na), -1.0, jnp.float32)
+        hasw = jnp.zeros((na, na), bool)
+        for i, (t21, t31, t41) in tilnus.items():
+            sel = endslice_c == i
+            t21m = jnp.where(sel, t21, t21m)
+            t31m = jnp.where(sel, t31, t31m)
+            t41m = jnp.where(sel, t41, t41m)
+            hasw = hasw | sel
+        draw = draw_from_pearson_jax(
+            jax.random.fold_in(lkey, 2), t21m, t31m, t41m, gI
+        )
+        return draw * hasw / gain_a
+
+    def _layer_P(lkey, cmd, base, endslice_c, gain_a):
+        flags = layer_subscript(cmd, "P")
+        withsky = base["slope_withsky"][act, act]
+        if "b" in flags:
+            sky_order = int("0" + layer_subscript(flags.upper(), "B"))
+            _, skylevel = sky.medfit(withsky, order=sky_order)
+        else:
+            skylevel = withsky
+        if "r" not in flags:
+            return jnp.zeros((na, na), jnp.float32)
+        e_exp = jnp.clip(skylevel * gain_a * frame_time, 0.0, None)
+        return resample_traced(
+            jax.random.fold_in(lkey, 1), e_exp, gain_a, endslice_c,
+            read_pattern, weightvecs, ngrp,
+        )
+
+    def run(key, arrs):
+        base = core(arrs)
+        es = base["endslice"].astype(jnp.int32)
+        endslice_c = jnp.where(es > 0, es, ngrp - 1)
+        gain_a = jnp.clip(arrs["gain"], 1e-4, 1e4)[act, act]
+
+        diffs = []
+        for i_noise, cmd in enumerate(layers):
+            lkey = jax.random.fold_in(key, i_noise)
+            diff = jnp.zeros((na, na), jnp.float32)
+            if "R" in cmd:
+                diff = diff + _layer_R(lkey, cmd, arrs, base, endslice_c)
+            if "O" in cmd:
+                diff = diff + _layer_O(lkey, arrs, base, endslice_c, gain_a)
+            if "P" in cmd:
+                diff = diff + _layer_P(lkey, cmd, base, endslice_c, gain_a)
+            if "S" in cmd:
+                sky_order = int("0" + layer_subscript(cmd, "S"))
+                _, model = sky.medfit(diff, order=sky_order)
+                diff = diff - model
+            diffs.append(diff)
+        return jnp.stack(diffs), base
+
+    return jax.jit(run) if jit else run
+
+
+def make_full_exposure_core(prep, pack, layers, config=None):
+    """One XLA program for a full production exposure:
+
+        rate map -> L1 synthesis (Poisson/CR accumulation, IL forward
+        model, read noise) -> reference-pixel/1-f/amp33 fill ->
+        L1->L2 calibration -> every noise layer.
+
+    This is the reference's per-exposure production workload
+    (``runs/summer2025run/OpenUniverse_to_L1L2.py:155-169``: sim ->
+    calibrate -> noise) as a single jitted device function — no files,
+    no host round trips.  Returns ``run(key, arrs) -> (noise_cube,
+    base_out)`` where ``arrs`` additionally carries the sim-side
+    bundle: ``rate`` (na, na) e/s plus the active-region cal slices
+    (``gain_act``, ``resetnoise_act``, ``read_sigma_act``,
+    ``dark_slope_act``, ``biascorr_t0``).
+    """
+    plan, cfg, geom = prep["plan"], prep["cfg"], prep["geom"]
+    nside, nb, cw = geom
+    read_pattern = prep["read_pattern"]
+    frame_time = float(prep["frame_time"])
+
+    noise_run = make_exposure_noise_core(prep, pack, layers, config,
+                                         jit=False)
+    simcore = sim_to_l1._l1_core_factory(
+        read_pattern, frame_time, False, cfg["has_ipc"], True
+    )
+    do_amp33 = cfg["use_amp33"]
+    fillcore = sim_to_l1._fill_core_factory(
+        tuple(len(g) for g in read_pattern), nside, cw, nb, True,
+        bool(do_amp33), float(pack.c_pink), float(pack.u_pink),
+        float(pack.amp33_m_pink), float(pack.amp33_ru_pink),
+        im_is_active=True,
+    )
+    @jax.jit
+    def run(key, arrs):
+        ks, kf, kn = jax.random.split(key, 3)
+        res, _l1dq = simcore(ks, arrs["rate"], arrs)
+        im_u16, amp33_u16 = fillcore(
+            kf,
+            {
+                "im": res,
+                "read_sigma": arrs["read_sigma"],
+                "resetnoise": arrs["fill_resetnoise"],
+                "dark_cube": arrs["dark_cube"],
+                "amp33_med": arrs["amp33_med"],
+                "amp33_std": arrs["fill_amp33_std"],
+            },
+        )
+        arrs2 = dict(arrs, data=im_u16)
+        if do_amp33:
+            arrs2["amp33"] = amp33_u16.astype(jnp.float32)
+        return noise_run(kn, arrs2)
+
+    return run

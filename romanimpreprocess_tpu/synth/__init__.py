@@ -23,21 +23,31 @@ from ..io import asdf_lite, fits_lite
 
 
 def make_scene_file(path, nside_active=4088, nstars=25, exptime=139.8,
-                    filt="F184", crval=(37.0, -20.0), seed=None):
+                    filt="F184", crval=(37.0, -20.0), seed=None,
+                    image=None):
     """Write a synthetic truth FITS image (Gaussian stars + SIP TAN WCS).
 
     Mirrors reference ``genfile`` (``test_workflow.py:32-89``): star j
     has flux 10000*j e (over the exposure) at quasi-random grid points;
     the header carries EXPTIME/FILTER/SIP-TAN WCS/pointing keywords.
+    ``image`` overrides the star field with a caller-supplied truth
+    array (e.g. a polynomial sky for coefficient-recovery gates).
     Returns the path.
     """
     N = nside_active
-    img = np.zeros((N, N))
-    x_, y_ = np.meshgrid(np.arange(N), np.arange(N))
-    for j in range(nstars):
-        x = 10 + (N - 20) * j / float(nstars)
-        y = 10 + (N - 20) * ((13 * j) % nstars) / float(nstars)
-        img += 10000.0 * j * np.exp(-0.5 * ((x_ - x) ** 2 + (y_ - y) ** 2) / 2**2)
+    if image is not None:
+        img = np.asarray(image, np.float64)
+        if img.shape != (N, N):
+            raise ValueError("image shape must be (nside_active,)*2")
+    else:
+        img = np.zeros((N, N))
+        x_, y_ = np.meshgrid(np.arange(N), np.arange(N))
+        for j in range(nstars):
+            x = 10 + (N - 20) * j / float(nstars)
+            y = 10 + (N - 20) * ((13 * j) % nstars) / float(nstars)
+            img += 10000.0 * j * np.exp(
+                -0.5 * ((x_ - x) ** 2 + (y_ - y) ** 2) / 2**2
+            )
 
     h = fits_lite.Header()
     h["EXPTIME"] = float(exptime)

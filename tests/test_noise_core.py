@@ -1,0 +1,131 @@
+"""Fused device noise-exposure core vs the host noise engine.
+
+The single-program noise stack (``pipeline/noise_core.py``) must
+reproduce the statistical content of every layer of the host engine
+(``pipeline/noise.py``) — same base pipeline, same weight vectors and
+tilde-nus, independent RNG streams — and be deterministic per key.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from romanimpreprocess_tpu.io import asdf_lite, calfiles
+from romanimpreprocess_tpu.ops import rand
+from romanimpreprocess_tpu.pipeline import l1_to_l2, noise, noise_core, sim_to_l1
+from romanimpreprocess_tpu.synth import make_cal_files, make_scene_file
+
+READ_PATTERN = [[0], [1, 2], [3, 4, 5], [6, 7, 8, 9, 10], [11, 12], [13]]
+N = 128
+NA = N - 8
+LAYERS = ["Rz4S2", "O", "PbrS2"]
+
+
+@pytest.fixture(scope="module")
+def fused(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("nc"))
+    scene = make_scene_file(d + "/truth_F184_163_4.fits", nside_active=NA,
+                            nstars=5)
+    caldir = make_cal_files(d + "/roman_wfi", READ_PATTERN, nside=N, seed=5)
+    reads = []
+    for g in READ_PATTERN:
+        reads += [g[0], g[-1] + 1]
+    sim_to_l1.run_config(
+        {"IN": scene, "OUT": d + "/L1.asdf", "READS": reads,
+         "CALDIR": caldir, "SEED": 300}
+    )
+    config = {
+        "IN": d + "/L1.asdf", "OUT": d + "/L2.asdf",
+        "FITSWCS": d + "/L1_asdf_wcshead.txt", "CALDIR": caldir,
+        "SKYORDER": 2, "SLICEOUT": True,
+        "NOISE": {"LAYER": LAYERS, "SEED": 77, "OUT": d + "/L2_noise.asdf"},
+    }
+    pack = calfiles.load_caldir_cached(caldir)
+    l1 = asdf_lite.open(config["IN"])["roman"]
+    area_factor = l1_to_l2.area_factor_from_config(config, pack.nside)
+
+    prep = l1_to_l2.prepare_inputs(l1, config, pack, area_factor)
+    run = noise_core.make_exposure_noise_core(prep, pack, LAYERS, config)
+    arrs = {
+        k: jnp.asarray(v)
+        for k, v in {
+            **prep["arr"],
+            **noise_core.fill_aux_arrays(pack, prep["geom"]),
+        }.items()
+    }
+    cube_dev, base = run(rand.sim_key(77), arrs)
+    cube_dev = np.asarray(cube_dev)
+
+    # host engine on the same exposure
+    l1_to_l2.calibrateimage(config)
+    noise.generate_all_noise(config)
+    cube_host = np.asarray(asdf_lite.open(d + "/L2_noise.asdf")["noise"])
+
+    l2 = asdf_lite.open(d + "/L2.asdf")
+    good = np.asarray(l2["roman"]["dq"]) == 0
+    sig = np.asarray(l2["roman"]["data_withsky"])
+    return cube_dev, cube_host, good, (run, arrs), sig
+
+
+def _spread(x):
+    return np.percentile(x, 95) - np.percentile(x, 5)
+
+
+def test_shapes_and_finiteness(fused):
+    cube_dev, cube_host, good, _, _ = fused
+    assert cube_dev.shape == (len(LAYERS), NA, NA)
+    assert np.isfinite(cube_dev).all()
+
+
+@pytest.mark.parametrize("j", range(len(LAYERS)))
+def test_layer_spreads_match_host(fused, j):
+    cube_dev, cube_host, good, _, _ = fused
+    sd = _spread(cube_dev[j][good])
+    sh = _spread(cube_host[j][good])
+    assert 0.75 < sd / sh < 1.33, (LAYERS[j], sd, sh)
+    assert abs(np.median(cube_dev[j][good])) < 0.3
+
+
+def test_o_layer_tracks_signal(fused):
+    """The fused 'O' layer variance grows with intensity, like the
+    host engine's (pseudo-Poisson)."""
+    cube_dev, _, good, _, sig = fused
+    x = cube_dev[1]
+    hi = good & (sig > np.percentile(sig, 95))
+    lo = good & (sig < np.percentile(sig, 50))
+    assert x[hi].std() > 1.5 * x[lo].std()
+
+
+def test_full_exposure_core_small():
+    """The single-program sim->L1->L2->noise exposure core runs at
+    small geometry: finite cube, noise layers with sane spreads, slope
+    recovers the injected rate."""
+    from romanimpreprocess_tpu import benchlib
+
+    arr, prep, pack = benchlib.exposure_bundle(nside=N)
+    run = noise_core.make_full_exposure_core(prep, pack, LAYERS)
+    arrs = {k: jnp.asarray(v) for k, v in arr.items()}
+    cube, base = run(rand.sim_key(9), arrs)
+    cube = np.asarray(cube)
+    assert cube.shape == (len(LAYERS), NA, NA)
+    assert np.isfinite(cube).all()
+    slope = np.asarray(base["slope_withsky"])[4:-4, 4:-4]
+    pdq = np.asarray(base["pdq"])[4:-4, 4:-4]
+    good = pdq == 0
+    # injected rate 3.0 e/s -> slope ~ 3/gain DN/s (flat/area unity-ish)
+    med = np.median(slope[good])
+    assert 1.0 < med < 4.0, med
+    for j in range(len(LAYERS)):
+        s = _spread(cube[j][good])
+        assert 0.005 < s < 10.0, (LAYERS[j], s)
+
+
+def test_deterministic_per_key(fused):
+    _, _, _, (run, arrs), _ = fused
+    c1, _ = run(rand.sim_key(123), arrs)
+    c2, _ = run(rand.sim_key(123), arrs)
+    assert np.array_equal(np.asarray(c1), np.asarray(c2))
+    c3, _ = run(rand.sim_key(124), arrs)
+    assert not np.array_equal(np.asarray(c1), np.asarray(c3))
