@@ -205,6 +205,23 @@ def main(argv=None):
     from ..ops.mask import PixelMask1
 
     argv = sys.argv[1:] if argv is None else argv
+    if argv and argv[0] == "--selftest":
+        # CI artifact mode: render the panel from a synthetic cal set
+        # (reference CI uploads its FPA panel the same way,
+        # testing-and-coverage.yml:52-63)
+        import tempfile
+
+        from ..synth import make_cal_files
+
+        d = tempfile.mkdtemp()
+        rp = [[0], [1, 2], [3, 4, 5], [6, 7, 8], [9, 10]]
+        for sca in (1, 4, 9):
+            make_cal_files(d + "/roman_wfi", rp, nside=128, seed=sca,
+                           tag="CI", sca=sca)
+        fmt = d + "/roman_wfi_{:s}_CI_SCA{:02d}.asdf"
+        arr = multi_image(fmt, 16, PixelMask1)
+        Image.fromarray(arr[::-1, :, :]).save(argv[1])
+        return
     arr = multi_image(argv[0], 128, PixelMask1)
     Image.fromarray(arr[::-1, :, :]).save(argv[1])
 
