@@ -59,10 +59,19 @@ def calibrate_fpa(configs, mesh=None, write=True, max_workers=8):
 
     The focal-plane production path: per-SCA L1 trees and calibration
     packs are loaded and prepared by a host thread pool, stacked along
-    a leading "sca" axis, sharded over the mesh, pushed through ONE
-    batched jitted core execution, then unpacked and written back in
-    parallel.  All configs must share the MA table and pipeline options
-    (the SCAs of one exposure do).
+    a leading "sca" axis, sharded over the mesh, pushed through one
+    batched jitted core execution per *config group*, then unpacked and
+    written back in parallel.
+
+    Mixed MA tables / pipeline options are supported: configs are
+    grouped by their compiled-core identity (``l1_to_l2.core_key``) and
+    each group runs as its own batched execution — the single-exposure
+    case (all 18 SCAs share the table) stays one execution.
+
+    Each group's batch is padded to the mesh size by repeating the last
+    SCA; the padded lanes are computed and discarded.  That is SPMD
+    occupancy, not latency — wall-clock is set by ceil(n_group/ndev)
+    steps per chip either way.
 
     Returns the list of L2 trees (written to each config's OUT when
     ``write``).
@@ -74,7 +83,6 @@ def calibrate_fpa(configs, mesh=None, write=True, max_workers=8):
 
     if mesh is None:
         mesh = sca_mesh()
-    n = len(configs)
 
     def load_one(config):
         pack = calfiles.load_caldir(config["CALDIR"])
@@ -86,33 +94,37 @@ def calibrate_fpa(configs, mesh=None, write=True, max_workers=8):
     with ThreadPoolExecutor(max_workers=max_workers) as pool:
         loaded = list(pool.map(load_one, configs))
 
-    prep0 = loaded[0][1]
-    for _, prep in loaded[1:]:
-        if prep["cfg"] != prep0["cfg"] or prep["geom"] != prep0["geom"]:
-            raise ValueError(
-                "calibrate_fpa requires identical pipeline options and "
-                "geometry across SCAs"
-            )
+    # group by compiled-core identity (MA table, static cfg, geometry)
+    groups = {}
+    for i, (_, prep) in enumerate(loaded):
+        key = l1_to_l2.core_key(prep["plan"], prep["cfg"], prep["geom"])
+        groups.setdefault(key, []).append(i)
 
-    batch = {
-        k: np.stack([prep["arr"][k] for _, prep in loaded])
-        for k in prep0["arr"]
-    }
-    # pad the batch to the mesh size so the shard is even
     ndev = mesh.devices.size
-    npad = (-n) % ndev
-    if npad:
+    out_by_index = [None] * len(configs)
+    for idxs in groups.values():
+        prep0 = loaded[idxs[0]][1]
         batch = {
-            k: np.concatenate([v] + [v[-1:]] * npad) for k, v in batch.items()
+            k: np.stack([loaded[i][1]["arr"][k] for i in idxs])
+            for k in prep0["arr"]
         }
-    batch = shard_batch(mesh, batch)
-    run = make_fpa_calibrator(prep0["plan"], prep0["cfg"], prep0["geom"], mesh)
-    out_all = jax.device_get(run(batch))
+        npad = (-len(idxs)) % ndev
+        if npad:
+            batch = {
+                k: np.concatenate([v] + [v[-1:]] * npad)
+                for k, v in batch.items()
+            }
+        batch = shard_batch(mesh, batch)
+        run = make_fpa_calibrator(
+            prep0["plan"], prep0["cfg"], prep0["geom"], mesh
+        )
+        out_all = jax.device_get(run(batch))
+        for j, i in enumerate(idxs):
+            out_by_index[i] = {k: v[j] for k, v in out_all.items()}
 
     trees = []
     for i, (config, (l1, prep)) in enumerate(zip(configs, loaded)):
-        out_i = {k: v[i] for k, v in out_all.items()}
-        trees.append(l1_to_l2.package_tree(out_i, prep, l1, config))
+        trees.append(l1_to_l2.package_tree(out_by_index[i], prep, l1, config))
 
     if write:
         def write_one(args):

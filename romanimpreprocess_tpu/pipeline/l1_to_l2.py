@@ -356,8 +356,11 @@ def make_core(plan, cfg, geom):
 _CORE_CACHE = {}
 
 
-def _get_core(plan, cfg, geom):
-    key = (
+def core_key(plan, cfg, geom):
+    """Hashable identity of a compiled calibration core: the static
+    config, geometry, and MA-table/plan signature.  Also used by
+    ``parallel.calibrate_fpa`` to group mixed-config SCA batches."""
+    return (
         tuple(sorted((k, v) for k, v in cfg.items())),
         geom,
         type(plan).__name__,
@@ -366,6 +369,10 @@ def _get_core(plan, cfg, geom):
         getattr(plan, "rejection_threshold", None),
         float(plan.W.sum()),  # distinguishes MA tables / u values
     )
+
+
+def _get_core(plan, cfg, geom):
+    key = core_key(plan, cfg, geom)
     if key not in _CORE_CACHE:
         _CORE_CACHE[key] = make_core(plan, cfg, geom)
     return _CORE_CACHE[key]
