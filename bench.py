@@ -14,6 +14,8 @@ Prints exactly one JSON line.
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
@@ -63,7 +65,14 @@ def main():
 
     # --- secondary: full production exposure in ONE program:
     # sim -> L1 -> L2 -> noise layers Rz4S2 / O / PbrS2 ---
-    dt_exp = _bench_exposure(jax, jnp, functools, benchlib, nside)
+    # (guarded: a failed/slow exposure compile must not kill the
+    # headline metric; skip with ROMAN_BENCH_EXPOSURE=0)
+    dt_exp = None
+    if os.environ.get("ROMAN_BENCH_EXPOSURE", "1") != "0":
+        try:
+            dt_exp = _bench_exposure(jax, jnp, functools, benchlib, nside)
+        except Exception as e:  # pragma: no cover - defensive
+            print(f"exposure bench skipped: {e!r}", file=sys.stderr)
 
     npix = (nside - 8) ** 2
     budget_s = 8.0 / 18.0  # per-chip share of the 18-SCA < 1 s north star
@@ -77,11 +86,14 @@ def main():
             "mpix_per_s": round(npix / dt / 1e6, 1),
             "fpa_18sca_proj_s_on_8chip": round(dt * 18 / 8, 3),
             "sim_l1_synthesis_ms": round(dt_sim * 1e3, 3),
-            "exposure_sim_l2_noise3_ms": round(dt_exp * 1e3, 3),
-            "exposure_layers": "Rz4S2+O+PbrS2",
-            "fpa_18sca_exposure_proj_s_on_8chip": round(dt_exp * 18 / 8, 3),
         },
     }
+    if dt_exp is not None:
+        result["extra"].update(
+            exposure_sim_l2_noise3_ms=round(dt_exp * 1e3, 3),
+            exposure_layers="Rz4S2+O+PbrS2",
+            fpa_18sca_exposure_proj_s_on_8chip=round(dt_exp * 18 / 8, 3),
+        )
     print(json.dumps(result))
 
 
@@ -99,31 +111,39 @@ def _bench_exposure(jax, jnp, functools, benchlib, nside):
         cfg=dict(prep["cfg"], ipc_pallas=True, lin_pallas=True,
                  med_pallas=True),
     )
-    run = noise_core.make_full_exposure_core(prep, pack, ["Rz4S2", "O", "PbrS2"])
+    # staged runner: the calibration core compiles ONCE and is
+    # re-dispatched for the base + both 'R' re-entries (the fused
+    # single-program form exceeds the relay compile service's appetite
+    # at 4096^2); intermediates stay on device, the checksum fetch is
+    # the only synchronization.
+    run = noise_core.make_staged_exposure_runner(
+        prep, pack, ["Rz4S2", "O", "PbrS2"]
+    )
     arrs = {k: jax.device_put(jnp.asarray(v)) for k, v in arr.items()}
+    fold = jax.jit(
+        lambda k, s: jax.random.fold_in(
+            k, jnp.where(jnp.isfinite(s), 1, 0).astype(jnp.int32)
+        )
+    )
 
-    @functools.partial(jax.jit, static_argnums=2)
-    def chained(key, arrs_d, n):
-        def body(carry, _):
-            k = jax.random.fold_in(carry, 0)
-            cube, base = run(k, arrs_d)
-            k = jax.random.fold_in(
-                k, (cube[0, 0, 0] * 0).astype(jnp.int32) + 1
-            )
-            return k, cube[0, 0, 0]
+    def chain(n):
+        # serialize exposures by folding each checksum into the next
+        # key — all device-side, one final scalar fetch
+        key = rand.sim_key(5)
+        cs = None
+        for _ in range(n):
+            cube, base, cs = run(key, arrs)
+            key = fold(key, cs)
+        return float(jax.device_get(cs))
 
-        _, ss = jax.lax.scan(body, key, None, length=n)
-        return ss
-
-    key = rand.sim_key(5)
     n_lo, n_hi = 1, 3
-    jax.device_get(chained(key, arrs, n_lo))
-    jax.device_get(chained(key, arrs, n_hi))
+    chain(n_lo)
+    chain(n_hi)
     t0 = time.perf_counter()
-    jax.device_get(chained(key, arrs, n_lo))
+    chain(n_lo)
     t_lo = time.perf_counter() - t0
     t0 = time.perf_counter()
-    jax.device_get(chained(key, arrs, n_hi))
+    chain(n_hi)
     t_hi = time.perf_counter() - t0
     return (t_hi - t_lo) / (n_hi - n_lo)
 

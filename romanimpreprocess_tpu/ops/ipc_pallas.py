@@ -7,14 +7,15 @@ planes).  The XLA stencil formulation (ops.ipc) materializes an
 intermediate per shifted tap, so the cube and kernel stream through HBM
 ~10x more than necessary.
 
-This kernel processes row slabs in a rows-leading layout
-(rows, groups/taps, columns): per grid step it DMAs a (TH+4)-row slab
-of the cube and of the nine kernel planes, applies K twice entirely in
-VMEM, and writes the TH-row output slab — cube and kernel are each
-read exactly once from HBM.  Row shifts are leading-dim slices (free),
-column shifts are lane shifts, and the 2-pixel halo lives in the
-padded HBM arrays so edge behavior matches the zero-fill stencil
-exactly (zero kernel entries kill out-of-range taps).
+The kernel works on row slabs in the cube's natural
+(groups, rows, columns) layout with the 2-row halo supplied by three
+shifted BlockSpec windows; both K applications happen in VMEM per grid
+step.  Row shifts are middle-dim slices, column shifts are lane
+shifts, and the halos live in the padded HBM arrays so edge behavior
+matches the zero-fill stencil exactly (zero kernel entries kill
+out-of-range taps).  An earlier manual-DMA variant (single HBM read of
+cube+kernel) faulted when compiled on v5e and was removed — the
+standard pipelined block machinery is the supported path.
 """
 
 import functools
@@ -43,94 +44,6 @@ def _shift_cols(arr, dx):
     if dx == 0:
         return arr
     return jnp.roll(arr, dx, axis=-1)
-
-
-def _apply_k_slab(y, k, rows_out):
-    """One K application on a rows-leading slab.
-
-    y: (R, G, W), k: (R, 9, W).  Output rows [1, 1+rows_out) of the
-    slab are valid: out[r] = sum_taps shift(y[r-dy] * k[r-dy, tap], dx).
-    Returns (rows_out, G, W) starting at slab row 1.
-    """
-    out = None
-    for t, (dy, dx) in enumerate(TAPS):
-        # source rows for output rows [1, 1+rows_out): [1-dy, 1-dy+rows_out)
-        src = slice(1 - dy, 1 - dy + rows_out)
-        prod = y[src] * k[src, t : t + 1, :]
-        term = _shift_cols(prod, dx)
-        out = term if out is None else out + term
-    return out
-
-
-def _ipc_kernel(y_hbm, k_hbm, out_ref, y_scr, k_scr, sems, *, th):
-    i = pl.program_id(0)
-    cp_y = pltpu.make_async_copy(
-        y_hbm.at[pl.ds(i * th, th + 4)], y_scr, sems.at[0]
-    )
-    cp_k = pltpu.make_async_copy(
-        k_hbm.at[pl.ds(i * th, th + 4)], k_scr, sems.at[1]
-    )
-    cp_y.start()
-    cp_k.start()
-    cp_y.wait()
-    cp_k.wait()
-
-    y = y_scr[...]  # (th+4, G, W)
-    k = k_scr[...]  # (th+4, 9, W)
-    # a valid on slab rows [1, th+3)
-    a = _apply_k_slab(y, k, th + 2)  # a[j] = (Ky)[slab row j+1]
-    # b valid on slab rows [2, th+2): b[r] needs a at slab rows r-dy
-    b = _apply_k_slab(a, k[1 : th + 3], th)  # rows offset by 1 again
-    out = 3.0 * y[2 : th + 2] - 3.0 * a[1 : th + 1] + b
-    out_ref[...] = out
-
-
-@functools.partial(jax.jit, static_argnames=("th", "interpret"))
-def ipc_rev2_cube(cube, kernel, gain=None, th=16, interpret=False):
-    """Order-2 IPC inverse of a (G, na, na) cube (fused Pallas path).
-
-    Matches ``ops.ipc.ipc_rev(cube, kernel, order=2, gain=gain)`` to
-    float32 round-off; ``gain`` conjugation (DN space) is fused in.
-    """
-    ngrp, na, _ = cube.shape
-    y = cube if gain is None else cube * gain
-
-    rows_out = ((na + th - 1) // th) * th
-    width = ((na + 4 + 127) // 128) * 128
-
-    # rows-leading layout with 2-row/2-col halos
-    yp = jnp.zeros((rows_out + 4, ngrp, width), dtype=jnp.float32)
-    yp = yp.at[2 : 2 + na, :, 2 : 2 + na].set(y.transpose(1, 0, 2))
-    kp = jnp.zeros((rows_out + 4, 9, width), dtype=jnp.float32)
-    kp = kp.at[2 : 2 + na, :, 2 : 2 + na].set(
-        kernel.reshape(9, na, na).transpose(1, 0, 2)
-    )
-
-    grid = (rows_out // th,)
-    out = pl.pallas_call(
-        functools.partial(_ipc_kernel, th=th),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        out_specs=pl.BlockSpec(
-            (th, ngrp, width), lambda i: (i, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((rows_out, ngrp, width), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((th + 4, ngrp, width), jnp.float32),
-            pltpu.VMEM((th + 4, 9, width), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        interpret=interpret,
-    )(yp, kp)
-
-    res = out[:na, :, 2 : 2 + na].transpose(1, 0, 2)
-    if gain is not None:
-        res = res / gain
-    return res
 
 
 def _apply_k_gslab(y, k, rows_out):

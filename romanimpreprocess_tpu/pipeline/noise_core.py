@@ -16,6 +16,8 @@ cube.  Statistical content of every layer matches the host engine
 (gated by ``tests/test_noise_core.py``).
 """
 
+import functools
+
 import numpy as np
 
 import jax
@@ -201,6 +203,243 @@ def make_exposure_noise_core(prep, pack, layers, config=None, jit=True):
         return jnp.stack(diffs), base
 
     return jax.jit(run) if jit else run
+
+
+def make_staged_exposure_runner(prep, pack, layers, config=None):
+    """Host-staged full exposure: the same math as
+    :func:`make_full_exposure_core`, issued as a handful of separately
+    jitted stages instead of one fused program.
+
+    Why it exists: the fused single-program form inlines the
+    calibration core three times (base + two 'R'-layer re-entries),
+    which the remote TPU compile service handles poorly at 4096^2
+    (>40 min).  Here the core is compiled ONCE and re-dispatched; all
+    intermediates stay on device (dispatch is async, nothing transfers
+    to the host), so device work and HBM residency are identical.
+
+    Returns ``run(key, arrs) -> (noise_cube, base_out, checksum)`` —
+    all device arrays; ``checksum`` is a scalar data-dependent on every
+    layer, so fetching it synchronizes the whole exposure (the axon
+    relay's ``block_until_ready`` does not).
+    """
+    config = config or {}
+    plan, cfg, geom = prep["plan"], prep["cfg"], prep["geom"]
+    nside, nb, cw = geom
+    na = nside - 2 * nb
+    act = slice(nb, nside - nb)
+    read_pattern = prep["read_pattern"]
+    frame_time = float(prep["frame_time"])
+    ngrp = len(read_pattern)
+    nvec = np.asarray([len(g) for g in read_pattern], np.float32)
+
+    core = l1_to_l2._get_core(plan, cfg, geom)
+    simcore = sim_to_l1._l1_core_factory(
+        read_pattern, frame_time, False, cfg["has_ipc"], True
+    )
+    do_amp33 = cfg["use_amp33"]
+    fillcore_active = sim_to_l1._fill_core_factory(
+        tuple(len(g) for g in read_pattern), nside, cw, nb, True,
+        bool(do_amp33), float(pack.c_pink), float(pack.u_pink),
+        float(pack.amp33_m_pink), float(pack.amp33_ru_pink),
+        im_is_active=True,
+    )
+    fillcore_full = sim_to_l1._fill_core_factory(
+        tuple(len(g) for g in read_pattern), nside, cw, nb, True,
+        bool(do_amp33), float(pack.c_pink), float(pack.u_pink),
+        float(pack.amp33_m_pink), float(pack.amp33_ru_pink),
+        im_is_active=False,
+    )
+
+    weightvecs, start = weightvec_table(
+        prep["meta"]["tbar"], prep["weights_out"], ngrp,
+        cfg["exclude_first"],
+    )
+    a_beta = np.array([g[0] for g in read_pattern])
+    N_beta = np.array([len(g) for g in read_pattern])
+    tilnus = {}
+    for i in range(start + 1, ngrp):
+        if weightvecs[i] is None:
+            continue
+        t21, t31, t41, _ = get_tilde_nus(N_beta, a_beta, weightvecs[i])
+        tilnus[i] = (
+            float(t21 * frame_time),
+            float(t31 * frame_time**2),
+            float(t41 * frame_time**3),
+        )
+
+    # ---- small jitted stages (args only; no large closures) ----
+    @jax.jit
+    def split_keys(key):
+        return jax.random.split(key, 8)
+
+    @jax.jit
+    def perturb(key, src_u16_or_f32, read_sigma):
+        src = src_u16_or_f32.astype(jnp.float32)
+        white = (
+            jax.random.normal(key, (ngrp, na, na))
+            * read_sigma[act, act][None]
+            / jnp.sqrt(jnp.asarray(nvec))[:, None, None]
+        )
+        return src.at[:, act, act].set(
+            jnp.clip(jnp.round(src[:, act, act] + white), 0, 65535)
+        )
+
+    @jax.jit
+    def dark_as_u16(dark_cube):
+        return jnp.clip(dark_cube, 0, 65535).astype(jnp.uint16)
+
+    @functools.partial(jax.jit, static_argnames=("zclip",))
+    def diff_zclip(new_slope, orig_slope, zclip):
+        diff = new_slope[act, act] - orig_slope[act, act]
+        if zclip is None:
+            return diff
+        q25, med, q75 = jnp.percentile(
+            diff, jnp.asarray([25.0, 50.0, 75.0])
+        )
+        iqr = q75 - q25
+        return jnp.clip(
+            diff, med - zclip * iqr / 1.34896, med + zclip * iqr / 1.34896
+        )
+
+    @jax.jit
+    def o_layer(key, endslice, withsky, gain):
+        gain_a = jnp.clip(gain, 1e-4, 1e4)[act, act]
+        es = endslice.astype(jnp.int32)
+        endslice_c = jnp.where(es > 0, es, ngrp - 1)
+        gI = gain_a * withsky[act, act]
+        t21m = jnp.ones((na, na), jnp.float32)
+        t31m = jnp.zeros((na, na), jnp.float32)
+        t41m = jnp.full((na, na), -1.0, jnp.float32)
+        hasw = jnp.zeros((na, na), bool)
+        for i, (t21, t31, t41) in tilnus.items():
+            sel = endslice_c == i
+            t21m = jnp.where(sel, t21, t21m)
+            t31m = jnp.where(sel, t31, t31m)
+            t41m = jnp.where(sel, t41, t41m)
+            hasw = hasw | sel
+        draw = draw_from_pearson_jax(
+            jax.random.fold_in(key, 2), t21m, t31m, t41m, gI
+        )
+        return draw * hasw / gain_a
+
+    @functools.partial(jax.jit, static_argnames=("sky_order", "resample"))
+    def p_layer(key, endslice, withsky, gain, sky_order, resample):
+        gain_a = jnp.clip(gain, 1e-4, 1e4)[act, act]
+        es = endslice.astype(jnp.int32)
+        endslice_c = jnp.where(es > 0, es, ngrp - 1)
+        w = withsky[act, act]
+        if sky_order is not None:
+            _, skylevel = sky.medfit(w, order=sky_order)
+        else:
+            skylevel = w
+        if not resample:
+            return jnp.zeros((na, na), jnp.float32)
+        e_exp = jnp.clip(skylevel * gain_a * frame_time, 0.0, None)
+        return resample_traced(
+            jax.random.fold_in(key, 1), e_exp, gain_a, endslice_c,
+            read_pattern, weightvecs, ngrp,
+        )
+
+    @functools.partial(jax.jit, static_argnames=("sky_order",))
+    def s_layer(diff, sky_order):
+        _, model = sky.medfit(diff, order=sky_order)
+        return diff - model
+
+    @jax.jit
+    def final_checksum(key, cube):
+        s = cube.sum()
+        return jax.random.fold_in(
+            key, jnp.where(jnp.isfinite(s), 1, 0).astype(jnp.int32)
+        ), s
+
+    # every op between stages goes through a jit — eager dispatch is
+    # unreliable on the axon relay backend
+    fold = jax.jit(jax.random.fold_in)
+    to_f32 = jax.jit(lambda x: x.astype(jnp.float32))
+    add2 = jax.jit(lambda a, b: a + b)
+    stack_cube = jax.jit(lambda *ds: jnp.stack(ds))
+    zeros_na = jax.jit(lambda: jnp.zeros((na, na), jnp.float32))
+
+    def run(key, arrs):
+        ks = split_keys(key)
+        res, _l1dq = simcore(ks[0], arrs["rate"], arrs)
+        im_u16, amp33_u16 = fillcore_active(
+            ks[1],
+            {
+                "im": res,
+                "read_sigma": arrs["read_sigma"],
+                "resetnoise": arrs["fill_resetnoise"],
+                "dark_cube": arrs["dark_cube"],
+                "amp33_med": arrs["amp33_med"],
+                "amp33_std": arrs["fill_amp33_std"],
+            },
+        )
+        arrs0 = dict(arrs, data=im_u16)
+        if do_amp33:
+            arrs0["amp33"] = to_f32(amp33_u16)
+        base = core(arrs0)
+
+        diffs = []
+        for i_noise, cmd in enumerate(layers):
+            lkey = ks[2 + (i_noise % 6)]
+            diff = None
+            if "R" in cmd:
+                flags = layer_subscript(cmd, "R")
+                if "a" not in flags:
+                    data_ref = dark_as_u16(arrs["dark_cube"])
+                    orig = core(dict(arrs0, data=data_ref))["slope"]
+                    src = data_ref
+                else:
+                    orig = base["slope"]
+                    src = im_u16
+                pert = perturb(fold(lkey, 0), src,
+                               arrs["read_sigma"])
+                new_u16, new_a33 = fillcore_full(
+                    fold(lkey, 1),
+                    {
+                        "im": pert,
+                        "read_sigma": arrs["read_sigma"],
+                        "resetnoise": arrs["fill_resetnoise"],
+                        "dark_cube": arrs["dark_cube"],
+                        "amp33_med": arrs["amp33_med"],
+                        "amp33_std": arrs["fill_amp33_std"],
+                    },
+                )
+                arrs_r = dict(arrs0, data=new_u16)
+                if do_amp33:
+                    arrs_r["amp33"] = to_f32(new_a33)
+                new = core(arrs_r)["slope"]
+                zc = (
+                    float(layer_subscript(flags.upper(), "Z"))
+                    if "z" in flags else None
+                )
+                diff = diff_zclip(new, orig, zc)
+            if "O" in cmd:
+                d = o_layer(fold(lkey, 2), base["endslice"],
+                            base["slope_withsky"], arrs["gain"])
+                diff = d if diff is None else add2(diff, d)
+            if "P" in cmd:
+                flags = layer_subscript(cmd, "P")
+                so = (
+                    int("0" + layer_subscript(flags.upper(), "B"))
+                    if "b" in flags else None
+                )
+                d = p_layer(
+                    fold(lkey, 3), base["endslice"],
+                    base["slope_withsky"], arrs["gain"], so, "r" in flags,
+                )
+                diff = d if diff is None else add2(diff, d)
+            if diff is None:
+                diff = zeros_na()
+            if "S" in cmd:
+                diff = s_layer(diff, int("0" + layer_subscript(cmd, "S")))
+            diffs.append(diff)
+
+        cube = stack_cube(*diffs)
+        _, checksum = final_checksum(key, cube)
+        return cube, base, checksum
+
+    return run
 
 
 def make_full_exposure_core(prep, pack, layers, config=None):

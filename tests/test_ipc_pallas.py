@@ -27,7 +27,7 @@ def test_pallas_matches_xla(na, th):
     cube, K = _mk(2, na)
     want = np.array(ipc.ipc_rev(cube, K, order=2))
     got = np.array(
-        ipc_pallas.ipc_rev2_cube(cube, K, th=th, interpret=True)
+        ipc_pallas.ipc_rev2_cube_blocked(cube, K, th=th, interpret=True)
     )
     rel = np.abs(got - want).max() / np.abs(want).max()
     assert rel < 1e-5
@@ -37,7 +37,9 @@ def test_pallas_gain_conjugation():
     cube, K = _mk(3, 96)
     g = jnp.asarray(rng.uniform(1.4, 1.6, (96, 96)).astype(np.float32))
     want = np.array(ipc.ipc_rev(cube, K, order=2, gain=g))
-    got = np.array(ipc_pallas.ipc_rev2_cube(cube, K, gain=g, interpret=True))
+    got = np.array(
+        ipc_pallas.ipc_rev2_cube_blocked(cube, K, gain=g, interpret=True)
+    )
     rel = np.abs(got - want).max() / np.abs(want).max()
     assert rel < 1e-5
 

@@ -122,6 +122,31 @@ def test_full_exposure_core_small():
         assert 0.005 < s < 10.0, (LAYERS[j], s)
 
 
+def test_staged_runner_matches_layers():
+    """The host-staged exposure runner (per-stage jits, device-resident
+    intermediates) produces the same statistical layer content as the
+    fused program and a finite checksum."""
+    from romanimpreprocess_tpu import benchlib
+
+    arr, prep, pack = benchlib.exposure_bundle(nside=N)
+    run = noise_core.make_staged_exposure_runner(prep, pack, LAYERS)
+    arrs = {k: jnp.asarray(v) for k, v in arr.items()}
+    cube, base, checksum = run(rand.sim_key(9), arrs)
+    cube = np.asarray(cube)
+    assert np.isfinite(float(checksum))
+    assert cube.shape == (len(LAYERS), NA, NA)
+    assert np.isfinite(cube).all()
+    good = np.asarray(base["pdq"])[4:-4, 4:-4] == 0
+    # same exposure through the fused single-program core
+    run_f = noise_core.make_full_exposure_core(prep, pack, LAYERS)
+    cube_f, base_f = run_f(rand.sim_key(9), arrs)
+    cube_f = np.asarray(cube_f)
+    for j in range(len(LAYERS)):
+        ss = _spread(cube[j][good])
+        sf = _spread(cube_f[j][good])
+        assert 0.8 < ss / sf < 1.25, (LAYERS[j], ss, sf)
+
+
 def test_deterministic_per_key(fused):
     _, _, _, (run, arrs), _ = fused
     c1, _ = run(rand.sim_key(123), arrs)
