@@ -119,6 +119,14 @@ def _bench_exposure(jax, jnp, functools, benchlib, nside):
     run = noise_core.make_staged_exposure_runner(
         prep, pack, ["Rz4S2", "O", "PbrS2"]
     )
+    # don't stage arrays the traced cores never read: the "data"
+    # placeholder (the synthesized L1 replaces it) and the zero
+    # biascorr/dark_dq (cfg has_biascorr/has_dark_dq are False) —
+    # ~0.6 GB of HBM at 4096^2
+    arr = {
+        k: v for k, v in arr.items()
+        if k not in ("data", "biascorr", "dark_dq")
+    }
     arrs = {k: jax.device_put(jnp.asarray(v)) for k, v in arr.items()}
     fold = jax.jit(
         lambda k, s: jax.random.fold_in(

@@ -273,15 +273,31 @@ def make_staged_exposure_runner(prep, pack, layers, config=None):
         return jax.random.split(key, 8)
 
     @jax.jit
-    def perturb(key, src_u16_or_f32, read_sigma):
-        src = src_u16_or_f32.astype(jnp.float32)
+    def perturb_fill(key, src_u16, read_sigma, resetnoise, dark_cube,
+                     amp33_med, amp33_std):
+        """White read noise + full refdata/1-f/amp33 refill in ONE
+        stage (the f32 intermediate dies inside the jit instead of
+        sitting in HBM between two dispatches)."""
+        kw, kf = jax.random.split(key)
+        src = src_u16.astype(jnp.float32)
         white = (
-            jax.random.normal(key, (ngrp, na, na))
+            jax.random.normal(kw, (ngrp, na, na))
             * read_sigma[act, act][None]
             / jnp.sqrt(jnp.asarray(nvec))[:, None, None]
         )
-        return src.at[:, act, act].set(
+        src = src.at[:, act, act].set(
             jnp.clip(jnp.round(src[:, act, act] + white), 0, 65535)
+        )
+        return fillcore_full(
+            kf,
+            {
+                "im": src,
+                "read_sigma": read_sigma,
+                "resetnoise": resetnoise,
+                "dark_cube": dark_cube,
+                "amp33_med": amp33_med,
+                "amp33_std": amp33_std,
+            },
         )
 
     @jax.jit
@@ -377,7 +393,15 @@ def make_staged_exposure_runner(prep, pack, layers, config=None):
         arrs0 = dict(arrs, data=im_u16)
         if do_amp33:
             arrs0["amp33"] = to_f32(amp33_u16)
-        base = core(arrs0)
+        del amp33_u16, res
+        base_full = core(arrs0)
+        # retain only what the layers consume — dropping rdq & friends
+        # frees ~0.8 GB at 4096^2 before the 'R' re-entries run
+        base = {
+            k: base_full[k]
+            for k in ("slope", "slope_withsky", "endslice", "pdq")
+        }
+        del base_full
 
         diffs = []
         for i_noise, cmd in enumerate(layers):
@@ -387,33 +411,33 @@ def make_staged_exposure_runner(prep, pack, layers, config=None):
                 flags = layer_subscript(cmd, "R")
                 if "a" not in flags:
                     data_ref = dark_as_u16(arrs["dark_cube"])
-                    orig = core(dict(arrs0, data=data_ref))["slope"]
+                    ref_out = core(dict(arrs0, data=data_ref))
+                    orig = ref_out["slope"]
+                    del ref_out
                     src = data_ref
                 else:
                     orig = base["slope"]
                     src = im_u16
-                pert = perturb(fold(lkey, 0), src,
-                               arrs["read_sigma"])
-                new_u16, new_a33 = fillcore_full(
-                    fold(lkey, 1),
-                    {
-                        "im": pert,
-                        "read_sigma": arrs["read_sigma"],
-                        "resetnoise": arrs["fill_resetnoise"],
-                        "dark_cube": arrs["dark_cube"],
-                        "amp33_med": arrs["amp33_med"],
-                        "amp33_std": arrs["fill_amp33_std"],
-                    },
+                new_u16, new_a33 = perturb_fill(
+                    fold(lkey, 0), src, arrs["read_sigma"],
+                    arrs["fill_resetnoise"], arrs["dark_cube"],
+                    arrs["amp33_med"], arrs["fill_amp33_std"],
                 )
+                if "a" not in flags:
+                    del data_ref, src
                 arrs_r = dict(arrs0, data=new_u16)
                 if do_amp33:
                     arrs_r["amp33"] = to_f32(new_a33)
-                new = core(arrs_r)["slope"]
+                del new_a33
+                new_out = core(arrs_r)
+                new = new_out["slope"]
+                del new_out, arrs_r, new_u16
                 zc = (
                     float(layer_subscript(flags.upper(), "Z"))
                     if "z" in flags else None
                 )
                 diff = diff_zclip(new, orig, zc)
+                del new, orig
             if "O" in cmd:
                 d = o_layer(fold(lkey, 2), base["endslice"],
                             base["slope_withsky"], arrs["gain"])

@@ -138,6 +138,29 @@ def main():
         y = ipc.ipc_fwd(x, a["ipc_kernel"])
         return y[0, 0, 0]
 
+    # 2b. accumulation without CR injection (isolates the event scatter)
+    def st_accum_nocr(k, a):
+        lam = jnp.clip(a["rate"] * ft, 0.0, None)
+        res, crh = sim_to_l1._accumulate_resultants(k, lam, rp, None)
+        return res[0, 0, 0] + crh[0, 0].astype(jnp.float32)
+
+    # 2c. the T contraction alone on a materialized increment stack
+    T = np.zeros((ngrp, nreads), np.float32)
+    for j, grp in enumerate(rp):
+        for r_ in grp:
+            T[j, : r_ + 1] += 1.0 / len(grp)
+    T[:, 0] = 0.0
+    arrs["incs"] = np.ones((nreads, na, na), np.float32)
+    arrs["T"] = T
+
+    def st_einsum(k, a):
+        incs = a["incs"] + jax.random.uniform(k, (1, 1, 1))
+        res = jnp.einsum(
+            "jr,ryx->jyx", a["T"], incs,
+            preferred_element_type=jnp.float32,
+        )
+        return res[0, 0, 0]
+
     # 4. read-noise draw alone
     def st_readnoise(k, a):
         nvec = jnp.asarray([len(g) for g in rp], jnp.float32)
@@ -157,6 +180,8 @@ def main():
 
     report("poisson_draws", st_poisson)
     report("accumulate(+CR,T)", st_accum)
+    report("accumulate(noCR)", st_accum_nocr)
+    report("einsum_T_only", st_einsum)
     report("il_forward(full)", st_il)
     report("invlinearity_only", st_invlin)
     report("ipc_fwd_only", st_ipcfwd)
