@@ -36,6 +36,8 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.special import betaln, gammainc, gammaln
 
+from ..ops import rand
+
 __all__ = ["draw_from_pearson_jax"]
 
 #: type-4 lanes with m above this use the Cornish-Fisher path.
@@ -119,7 +121,7 @@ def _draw_type1(key, t21, t31, t41, I, mask):
     mean = a / (a + b)
     var = a * b / ((a + b) ** 2 * (a + b + 1.0))
     c = jnp.sqrt(t21 * I / var)
-    y = jax.random.beta(key, a, b)
+    y = rand.beta(key, a, b)
     return c * (y - mean)
 
 
@@ -129,7 +131,7 @@ def _draw_type3(key, t21, t31, I, mask):
     shape = 4.0 * t21**3 * I / (t31s * t31s)
     shape = jnp.clip(jnp.where(mask, shape, 4.0), 1e-5, 1e7)
     sign = jnp.where(t31 > 0, 1.0, -1.0)
-    y = jax.random.gamma(key, shape)
+    y = rand.gamma(key, shape)
     return sign * scale * (y - shape)
 
 
@@ -145,7 +147,7 @@ def _draw_type5(key, t21, t31, I, mask):
     g5 = sigma * (p - 2.0) * jnp.sqrt(p - 3.0)
     a = p - 1.0
     mu = g5 / (a - 1.0)
-    y = g5 / jax.random.gamma(key, a)
+    y = g5 / jnp.maximum(rand.gamma(key, a), 1e-37)
     sign = jnp.where(t31 >= 0, 1.0, -1.0)
     return sign * (y - mu)
 
@@ -165,7 +167,7 @@ def _draw_type6(key, t21, t31, t41, I, mask):
     scale = jnp.sqrt(t21 * I / var1)
     shift = scale * alpha / (beta - 1.0)
     k1, k2 = jax.random.split(key)
-    y = jax.random.gamma(k1, alpha) / jax.random.gamma(k2, beta)
+    y = rand.gamma(k1, alpha) / jnp.maximum(rand.gamma(k2, beta), 1e-37)
     return sign * (scale * y - shift)
 
 
@@ -271,9 +273,9 @@ def _rej_rounds(key, m, nu, a, lam, pending0, max_rounds):
         # --- mixture accept-reject proposal ---
         left = jax.random.uniform(k3, shape) < w_left
         df = 2.0 * m - 1.0
-        T = jax.random.t(k4, df, shape)
+        T = rand.student_t(k4, jnp.broadcast_to(df, shape))
         s_left = -jnp.abs(T) / jnp.sqrt(df)
-        G = jnp.maximum(jax.random.gamma(k5, alpha), tiny)
+        G = jnp.maximum(rand.gamma(k5, jnp.broadcast_to(alpha, shape)), tiny)
         Y = 2.0 * m / G
         trunc_ok = Y > 1.0  # truncated inverse-gamma: reject Y <= 1
         s_right = Y - 1.0

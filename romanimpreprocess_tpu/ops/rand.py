@@ -126,6 +126,78 @@ def _poisson_ptrs(key, lam, shape):
     return jnp.where(filled, out, fallback)
 
 
+GAMMA_ROUNDS = 8
+
+
+def gamma(key, alpha, rounds=GAMMA_ROUNDS):
+    """Gamma(alpha, 1) deviates, float32, fixed-trip-count.
+
+    Marsaglia-Tsang squeeze rejection with ``rounds`` unrolled masked
+    rounds (acceptance > 0.95 per round for alpha >= 1; 8 rounds leave
+    < 1e-10 unfilled) and a Wilson-Hilferty moment-matched fallback;
+    alpha < 1 via the boost identity G(a) = G(a+1) * U^(1/a).
+
+    Exists because ``jax.random.gamma``'s data-dependent while_loop
+    sampler crashes the TPU worker at full-frame sizes on the axon
+    relay backend (verified at 2^24 lanes), and a fixed-round
+    masked-dense sampler is the TPU-native formulation regardless —
+    same design as :func:`poisson`.
+    """
+    alpha = jnp.asarray(alpha, jnp.float32)
+    shape = alpha.shape
+    k_boost, k_mt = jax.random.split(key)
+    small = alpha < 1.0
+    a1 = jnp.where(small, alpha + 1.0, alpha)
+    d = a1 - 1.0 / 3.0
+    c = 1.0 / jnp.sqrt(9.0 * d)
+
+    out = jnp.zeros(shape, jnp.float32)
+    filled = jnp.zeros(shape, bool)
+    for r in range(rounds):
+        kr = jax.random.fold_in(k_mt, r)
+        z = jax.random.normal(jax.random.fold_in(kr, 0), shape)
+        u = jnp.maximum(
+            jax.random.uniform(jax.random.fold_in(kr, 1), shape), 1e-37
+        )
+        v = (1.0 + c * z) ** 3
+        ok = v > 0.0
+        vs = jnp.where(ok, v, 1.0)
+        accept = ok & (
+            jnp.log(u) < 0.5 * z * z + d - d * vs + d * jnp.log(vs)
+        )
+        out = jnp.where(~filled & accept, d * vs, out)
+        filled = filled | accept
+    zf = jax.random.normal(jax.random.fold_in(k_mt, rounds), shape)
+    wh = a1 * (1.0 - 1.0 / (9.0 * a1) + zf / (3.0 * jnp.sqrt(a1))) ** 3
+    out = jnp.where(filled, out, jnp.clip(wh, 1e-30, None))
+
+    # boost: exp(log(u)/alpha) computed only where needed (alpha >= 1
+    # lanes get exponent 0 -> factor 1)
+    u = jnp.maximum(jax.random.uniform(k_boost, shape), 1e-37)
+    boost = jnp.exp(
+        jnp.where(small, jnp.log(u) / jnp.maximum(alpha, 1e-30), 0.0)
+    )
+    return out * boost
+
+
+def beta(key, a, b, rounds=GAMMA_ROUNDS):
+    """Beta(a, b) deviates from two fixed-round gammas."""
+    k1, k2 = jax.random.split(key)
+    ga = gamma(k1, a, rounds)
+    gb = gamma(k2, b, rounds)
+    return ga / jnp.maximum(ga + gb, 1e-37)
+
+
+def student_t(key, df, rounds=GAMMA_ROUNDS):
+    """Student-t deviates: Z / sqrt(ChiSq(df)/df), chi-square from the
+    fixed-round gamma."""
+    kz, kg = jax.random.split(key)
+    df = jnp.asarray(df, jnp.float32)
+    z = jax.random.normal(kz, df.shape)
+    chi2 = 2.0 * gamma(kg, 0.5 * df, rounds)
+    return z / jnp.sqrt(jnp.maximum(chi2 / df, 1e-37))
+
+
 #: above this many elements, chunk the draw over the leading axis —
 #: both branches evaluate masked-dense, so an unchunked full-frame
 #: multi-read draw holds ~10 live (nreads, na, na) intermediates

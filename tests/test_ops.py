@@ -293,3 +293,56 @@ def test_custom_poisson_chunked(monkeypatch):
     y = np.asarray(rand.poisson(jax.random.PRNGKey(12), lam3))
     for i, v in enumerate((1.0, 50.0, 300.0)):
         assert abs(y[i].mean() - v) < 4 * np.sqrt(v / (64 * 63)) + 0.05
+
+
+def test_custom_gamma_beta_t_distributions():
+    """Fixed-round Gamma/Beta/Student-t samplers match scipy
+    distributions (chi-square on quantile bins) across shape regimes —
+    incl. alpha < 1 (boost identity path)."""
+    from scipy import stats
+
+    from romanimpreprocess_tpu.ops import rand
+
+    n = 200_000
+    edges = np.linspace(0.01, 0.99, 25)
+
+    def chi2_of(x, dist):
+        qs = dist.ppf(edges)
+        obs, _ = np.histogram(x, bins=qs)
+        p = np.diff(edges)
+        exp = p * len(x)
+        return ((obs - exp) ** 2 / exp).sum() / (len(exp) - 1)
+
+    for alpha in (0.3, 0.9, 1.0, 3.7, 40.0, 900.0):
+        x = np.asarray(
+            rand.gamma(
+                jax.random.PRNGKey(int(alpha * 10)),
+                jnp.full((n,), alpha, jnp.float32),
+            ),
+            np.float64,
+        )
+        assert (x > 0).all()
+        c = chi2_of(x, stats.gamma(alpha))
+        assert c < 2.5, (alpha, c)
+
+    for a, b in ((0.5, 0.5), (2.0, 5.0), (50.0, 30.0)):
+        x = np.asarray(
+            rand.beta(
+                jax.random.PRNGKey(7),
+                jnp.full((n,), a, jnp.float32),
+                jnp.full((n,), b, jnp.float32),
+            ),
+            np.float64,
+        )
+        c = chi2_of(x, stats.beta(a, b))
+        assert c < 2.5, (a, b, c)
+
+    for df in (3.0, 29.0, 400.0):
+        x = np.asarray(
+            rand.student_t(
+                jax.random.PRNGKey(9), jnp.full((n,), df, jnp.float32)
+            ),
+            np.float64,
+        )
+        c = chi2_of(x, stats.t(df))
+        assert c < 2.5, (df, c)
