@@ -126,15 +126,15 @@ def _poisson_ptrs(key, lam, shape):
     return jnp.where(filled, out, fallback)
 
 
-GAMMA_ROUNDS = 8
+GAMMA_ROUNDS = 5
 
 
 def gamma(key, alpha, rounds=GAMMA_ROUNDS):
     """Gamma(alpha, 1) deviates, float32, fixed-trip-count.
 
     Marsaglia-Tsang squeeze rejection with ``rounds`` unrolled masked
-    rounds (acceptance > 0.95 per round for alpha >= 1; 8 rounds leave
-    < 1e-10 unfilled) and a Wilson-Hilferty moment-matched fallback;
+    rounds (acceptance > 0.95 per round for alpha >= 1; 5 rounds leave
+    < 1e-7 unfilled) and a Wilson-Hilferty moment-matched fallback;
     alpha < 1 via the boost identity G(a) = G(a+1) * U^(1/a).
 
     Exists because ``jax.random.gamma``'s data-dependent while_loop

@@ -74,31 +74,32 @@ def resample_traced(key, e_exp, gain_d, endslice_d, read_pattern,
     """Trace-level per-raw-read Poisson resampling contracted by
     per-pixel endslice weights (reference 'P...r',
     ``gen_noise_image.py:268-322``).  ``read_pattern``/``weightvecs``
-    are static; call under jit."""
+    are static; call under jit.
+
+    Execution shape: ONE bulk Poisson draw over all reads (the sampler
+    shares its pmf/PTRS constants across frames at a common rate map)
+    and one MXU contraction with the cumulative-membership matrix
+    T[j, r] = |{reads of group j with index >= r}| / N_j — the same
+    trick as the sim accumulator — instead of a serial per-read
+    fori_loop (which re-ran the 40-step CDF recurrence per read:
+    80 -> ~25 ms at 4096^2 on v5e).
+    """
     lastsamp = read_pattern[-1][-1]
+    nreads = lastsamp + 1
     n = e_exp.shape[0]
 
-    g_of_r = np.full(lastsamp + 1, ngrp, np.int32)
-    wgt = np.zeros(lastsamp + 1, np.float32)
+    # dres[j] = sum_{r in grp j} wgt_j * cum_r = sum_r T[j, r] * delta_r
+    T = np.zeros((ngrp, nreads), np.float64)
     for j, grp in enumerate(read_pattern):
         for r in grp:
-            g_of_r[r] = j
-            wgt[r] = 1.0 / len(grp)
-    g_of_r_d = jnp.asarray(g_of_r)
-    wgt_d = jnp.asarray(wgt)
+            T[j, : r + 1] += 1.0 / len(grp)
+    T_d = jnp.asarray(T, jnp.float32)
 
-    def body(r, carry):
-        cum, dres = carry
-        kk = jax.random.fold_in(key, r)
-        sample = (rand.poisson(kk, e_exp) - e_exp) / gain_d
-        cum = cum + sample
-        dres = dres.at[g_of_r_d[r]].add(cum * wgt_d[r], mode="drop")
-        return cum, dres
-
-    cum0 = jnp.zeros((n, n), jnp.float32)
-    dres0 = jnp.zeros((ngrp + 1, n, n), jnp.float32)
-    _, dres = jax.lax.fori_loop(0, lastsamp + 1, body, (cum0, dres0))
-    dres = dres[:ngrp]
+    incs = rand.poisson(key, e_exp, shape=(nreads, n, n))
+    delta = (incs - e_exp[None]) / gain_d[None]
+    dres = jnp.einsum(
+        "jr,ryx->jyx", T_d, delta, preferred_element_type=jnp.float32
+    )
     # per-pixel weight selection by endslice (select-chain, no gather)
     out = jnp.zeros((n, n), jnp.float32)
     for es in range(ngrp):

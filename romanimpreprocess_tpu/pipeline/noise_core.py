@@ -135,9 +135,7 @@ def make_exposure_noise_core(prep, pack, layers, config=None, jit=True):
 
         if "z" in flags:
             zclip = float(layer_subscript(flags.upper(), "Z"))
-            q25, med, q75 = jnp.percentile(
-                diff, jnp.asarray([25.0, 50.0, 75.0])
-            )
+            q25, med, q75 = sky.bisect_quantiles(diff, (0.25, 0.5, 0.75))
             iqr = q75 - q25
             diff = jnp.clip(
                 diff,
@@ -309,9 +307,7 @@ def make_staged_exposure_runner(prep, pack, layers, config=None):
         diff = new_slope[act, act] - orig_slope[act, act]
         if zclip is None:
             return diff
-        q25, med, q75 = jnp.percentile(
-            diff, jnp.asarray([25.0, 50.0, 75.0])
-        )
+        q25, med, q75 = sky.bisect_quantiles(diff, (0.25, 0.5, 0.75))
         iqr = q75 - q25
         return jnp.clip(
             diff, med - zclip * iqr / 1.34896, med + zclip * iqr / 1.34896

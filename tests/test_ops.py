@@ -346,3 +346,33 @@ def test_custom_gamma_beta_t_distributions():
         )
         c = chi2_of(x, stats.t(df))
         assert c < 2.5, (df, c)
+
+
+def test_bisect_quantiles_matches_percentile():
+    from romanimpreprocess_tpu.ops import sky as skymod
+
+    rng = np.random.RandomState(5)
+    for x in (
+        rng.normal(3.0, 2.0, (500, 400)).astype(np.float32),
+        rng.exponential(1.0, (1000,)).astype(np.float32),
+    ):
+        got = np.asarray(
+            jax.jit(
+                lambda a: skymod.bisect_quantiles(a, (0.25, 0.5, 0.75))
+            )(jnp.asarray(x))
+        )
+        # bisection converges to the inverted-CDF order statistic
+        # (smallest v with count(<=v) >= q*n); at production sizes the
+        # gap to interpolated percentiles is O(1/(n*density)) ~ 1e-7
+        srt = np.sort(x.ravel())
+        n = srt.size
+        want = np.array(
+            [srt[min(int(np.ceil(q * n)) - 1, n - 1)]
+             for q in (0.25, 0.5, 0.75)]
+        )
+        span = x.max() - x.min()
+        assert np.all(np.abs(got - want) < 2e-6 * span + 1e-5), (got, want)
+        # and the interpolated percentile agrees to the local spacing
+        assert np.all(
+            np.abs(got - np.percentile(x, [25, 50, 75])) < 20.0 / n * span
+        )
