@@ -359,15 +359,32 @@ _CORE_CACHE = {}
 def core_key(plan, cfg, geom):
     """Hashable identity of a compiled calibration core: the static
     config, geometry, and MA-table/plan signature.  Also used by
-    ``parallel.calibrate_fpa`` to group mixed-config SCA batches."""
+    ``parallel.calibrate_fpa`` to group mixed-config SCA batches.
+
+    Every ndarray field of the plan is hashed by content — the plan's
+    arrays are baked into the compiled core as constants, so two plans
+    that differ anywhere (different u, frame time, jump thresholds)
+    must never share a core.  (A round-1 key used ``plan.W.sum()``,
+    which is identically 0 for zero-sum slope weights and silently
+    collided plans built with different RAMP_OPT_PARS.)
+    """
+    fields = plan._asdict().items()  # plans are NamedTuples
+    arrays = tuple(
+        (name, np.asarray(v).tobytes())
+        for name, v in fields
+        if isinstance(v, (np.ndarray, jnp.ndarray))
+    )
+    scalars = tuple(
+        (name, v)
+        for name, v in fields
+        if isinstance(v, (int, float, bool, str, tuple))
+    )
     return (
         tuple(sorted((k, v) for k, v in cfg.items())),
         geom,
         type(plan).__name__,
-        plan.ngrp, plan.start, plan.m_of_variant, plan.pairs,
-        getattr(plan, "sthresh_a", None), getattr(plan, "sthresh_b", None),
-        getattr(plan, "rejection_threshold", None),
-        float(plan.W.sum()),  # distinguishes MA tables / u values
+        arrays,
+        scalars,
     )
 
 
