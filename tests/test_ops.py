@@ -376,3 +376,40 @@ def test_bisect_quantiles_matches_percentile():
         assert np.all(
             np.abs(got - np.percentile(x, [25, 50, 75])) < 20.0 / n * span
         )
+
+
+def test_pink_mxu_matches_irfft_statistics():
+    """The MXU Cooley-Tukey pink path matches the exact irfft path in
+    variance (<2%) and spectral shape; bf16 rounding adds only a
+    sub-percent white perturbation."""
+    from romanimpreprocess_tpu.ops import pink as pinkmod
+
+    old = pinkmod.MXU_MIN_LENGTH
+    key = jax.random.PRNGKey(3)
+    try:
+        pinkmod.MXU_MIN_LENGTH = 1 << 30  # force irfft
+        a = np.asarray(pinkmod.pink_frames(key, 96, 64, 8), np.float64)
+        pinkmod.MXU_MIN_LENGTH = 256  # force MXU path
+        b = np.asarray(
+            pinkmod.pink_frames(jax.random.PRNGKey(4), 96, 64, 8),
+            np.float64,
+        )
+    finally:
+        pinkmod.MXU_MIN_LENGTH = old
+    va, vb = a.var(), b.var()
+    assert abs(vb / va - 1) < 0.05, (va, vb)
+    for x in (a, b):
+        flat = x.reshape(96, -1)
+        ps = np.abs(np.fft.rfft(flat, axis=1)) ** 2
+        f = np.fft.rfftfreq(flat.shape[1])
+        lo = ps[:, (f > 0.001) & (f < 0.01)].mean()
+        hi = ps[:, (f > 0.1) & (f < 0.5)].mean()
+        assert 5 < lo / hi < 500
+    # spectral ratio agreement between the two backends
+    pa = np.abs(np.fft.rfft(a.reshape(96, -1), axis=1)) ** 2
+    pb = np.abs(np.fft.rfft(b.reshape(96, -1), axis=1)) ** 2
+    f = np.fft.rfftfreq(a.reshape(96, -1).shape[1])
+    for flo, fhi in ((0.002, 0.02), (0.02, 0.2), (0.2, 0.5)):
+        sel = (f > flo) & (f < fhi)
+        r = pb[:, sel].mean() / pa[:, sel].mean()
+        assert 0.85 < r < 1.18, (flo, fhi, r)
