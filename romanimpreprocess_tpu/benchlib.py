@@ -153,8 +153,13 @@ def exposure_bundle(nside=4096, read_pattern=None, seed=1000,
 
 
 def core_bundle(nside=4096, read_pattern=None, seed=1000, frame_time=3.04,
-                nborder=4, skyorder=2):
-    """(arr dict, plan, cfg, geom) ready for ``l1_to_l2.make_core``."""
+                nborder=4, skyorder=2, likelihood=False):
+    """(arr dict, plan, cfg, geom) ready for ``l1_to_l2.make_core``.
+
+    ``likelihood=True`` swaps in the adaptive GLS fitter's plan (the
+    reference's config-selectable ``romancal_ramp_fit`` production
+    path, ``gen_cal_image.py:415-445``).
+    """
     read_pattern = read_pattern or READ_PATTERN_DEFAULT
     cal = synth_cal_arrays(nside, read_pattern, seed, frame_time, nborder)
     ngrp = len(read_pattern)
@@ -162,13 +167,17 @@ def core_bundle(nside=4096, read_pattern=None, seed=1000, frame_time=3.04,
     data = synth_l1_cube(cal, read_pattern, seed + 1)
 
     meta = ramp.ma_table_meta(read_pattern, frame_time)
-    u_ = 0.4 / 1.8 / 6.5**2
-    plan = ramp.build_plan(meta, u_, True, None)
+    if likelihood:
+        from .ops import likely
+        plan = likely.build_likely_plan(meta, exclude_first=True)
+    else:
+        u_ = 0.4 / 1.8 / 6.5**2
+        plan = ramp.build_plan(meta, u_, True, None)
     cfg = dict(
         exclude_first=True,
         backup=1,
         use_amp33=True,
-        likelihood_fit=False,
+        likelihood_fit=bool(likelihood),
         has_biascorr=False,
         has_dark_decay=False,
         wfi18=False,

@@ -159,6 +159,37 @@ class SIPWCS:
             v = vp - self._sip_poly(self.b, u, v)
         return u + self.crpix[0], v + self.crpix[1]
 
+    # -- serialization -----------------------------------------------------
+    def to_cards(self):
+        """Flat dict of FITS-style cards (CRPIX kept **0-based**).
+
+        Round-trips through ``from_header(cards, zero_based=True)``;
+        used to embed the WCS into the L2 ASDF meta (the reference
+        embeds a gwcs via romanisim ``make_asdf(imwcs=...)``,
+        ``gen_cal_image.py:653-662``).
+        """
+        suffix = "STG" if self.ctype == "STG" else "TAN"
+        cards = {
+            "CTYPE1": f"RA---{suffix}" + ("-SIP" if self.a else ""),
+            "CTYPE2": f"DEC--{suffix}" + ("-SIP" if self.b else ""),
+            "CRPIX1": float(self.crpix[0]),
+            "CRPIX2": float(self.crpix[1]),
+            "CRVAL1": float(self.crval[0]),
+            "CRVAL2": float(self.crval[1]),
+            "CD1_1": float(self.cd[0, 0]),
+            "CD1_2": float(self.cd[0, 1]),
+            "CD2_1": float(self.cd[1, 0]),
+            "CD2_2": float(self.cd[1, 1]),
+            "LONPOLE": float(self.lonpole),
+        }
+        for prefix, coefs in (("A", self.a), ("B", self.b)):
+            if not coefs:
+                continue
+            cards[f"{prefix}_ORDER"] = max(p + q for (p, q) in coefs)
+            for (p, q), c in sorted(coefs.items()):
+                cards[f"{prefix}_{p}_{q}"] = float(c)
+        return cards
+
 
 def pixelarea(wcs, N=4088):
     """(N, N) array of pixel solid angles in steradians.

@@ -681,15 +681,37 @@ def package_tree(out, prep, l1, config):
     act = slice(nb, nside - nb)
     err = np.hypot(ser, sep).astype(np.float32)
 
+    # WCS embedding: the reference ships the WCS inside the L2 product
+    # (romanisim ``make_asdf(imwcs=repackage_wcs(thewcs))``,
+    # ``gen_cal_image.py:653-662``) — downstream PyIMCOM reads it from
+    # the file, not the sidecar.  The sidecar header describes the
+    # active-region science frame with 0-based CRPIX (sim_to_l1 writes
+    # it that way), which is exactly the frame of the L2 ``data`` array.
+    thewcs = wcs_from_config(config)
+    wcsinfo = None
+    if thewcs is not None:
+        w = wcsutils.SIPWCS.from_header(thewcs, zero_based=True)
+        wcsinfo = dict(
+            w.to_cards(),
+            pixel_convention="0-based, active region",
+            ra_ref=float(w.crval[0]),
+            dec_ref=float(w.crval[1]),
+        )
+
     l2meta = {
         "exposure": dict(l1meta["exposure"]),
         "instrument": dict(l1meta.get("instrument", {})),
         "cal_step": oututils.cal_step_status(
             has_dark_decay, wfi18,
             config.get("correct_wfi18_transient", False),
+            has_wcs=wcsinfo is not None,
         ),
         "gain": medgain,
     }
+    if wcsinfo is not None:
+        l2meta["wcsinfo"] = wcsinfo
+        if "pointing" in l1meta:
+            l2meta["pointing"] = dict(l1meta["pointing"])
     oututils.add_in_provenance(l2meta)
 
     im2 = {

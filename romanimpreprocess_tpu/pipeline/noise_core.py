@@ -401,7 +401,11 @@ def make_staged_exposure_runner(prep, pack, layers, config=None):
 
         diffs = []
         for i_noise, cmd in enumerate(layers):
-            lkey = ks[2 + (i_noise % 6)]
+            # per-layer key derived by folding the layer index — never
+            # reuse one of a fixed pool (with >6 layers a modulo pool
+            # would hand layer 6 layer 0's key, bit-correlating their
+            # 'R' realizations; cf. the fused core and the host engine)
+            lkey = fold(ks[2], i_noise)
             diff = None
             if "R" in cmd:
                 flags = layer_subscript(cmd, "R")

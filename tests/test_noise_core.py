@@ -147,6 +147,27 @@ def test_staged_runner_matches_layers():
         assert 0.8 < ss / sf < 1.25, (LAYERS[j], ss, sf)
 
 
+def test_staged_runner_layers_independent_beyond_six():
+    """With more than 6 layers every layer must still get a distinct
+    RNG stream: a fixed 8-way key pool indexed mod 6 would hand layer 6
+    layer 0's key (and 7 layer 1's), making their 'R' realizations
+    bit-identical.  Eight identical 'R' commands (the reference
+    production config ``OpenUniverse_to_L1L2.py`` runs 8 layers) must
+    produce 8 pairwise-distinct noise planes."""
+    from romanimpreprocess_tpu import benchlib
+
+    layers = ["Rz4"] * 8
+    arr, prep, pack = benchlib.exposure_bundle(nside=N)
+    run = noise_core.make_staged_exposure_runner(prep, pack, layers)
+    arrs = {k: jnp.asarray(v) for k, v in arr.items()}
+    cube, base, _ = run(rand.sim_key(31), arrs)
+    cube = np.asarray(cube)
+    assert cube.shape[0] == 8
+    for i in range(8):
+        for j in range(i + 1, 8):
+            assert not np.array_equal(cube[i], cube[j]), (i, j)
+
+
 def test_deterministic_per_key(fused):
     _, _, _, (run, arrs), _ = fused
     c1, _ = run(rand.sim_key(123), arrs)
