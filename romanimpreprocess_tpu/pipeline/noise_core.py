@@ -203,23 +203,14 @@ def make_exposure_noise_core(prep, pack, layers, config=None, jit=True):
     return jax.jit(run) if jit else run
 
 
-def make_staged_exposure_runner(prep, pack, layers, config=None):
-    """Host-staged full exposure: the same math as
-    :func:`make_full_exposure_core`, issued as a handful of separately
-    jitted stages instead of one fused program.
+class _StagedMachinery:
+    """Shared per-layer jitted stages for the staged runners (one
+    compiled calibration core, re-dispatched; intermediates stay on
+    device).  Built by :func:`_staged_layer_machinery`."""
 
-    Why it exists: the fused single-program form inlines the
-    calibration core three times (base + two 'R'-layer re-entries),
-    which the remote TPU compile service handles poorly at 4096^2
-    (>40 min).  Here the core is compiled ONCE and re-dispatched; all
-    intermediates stay on device (dispatch is async, nothing transfers
-    to the host), so device work and HBM residency are identical.
 
-    Returns ``run(key, arrs) -> (noise_cube, base_out, checksum)`` —
-    all device arrays; ``checksum`` is a scalar data-dependent on every
-    layer, so fetching it synchronizes the whole exposure (the axon
-    relay's ``block_until_ready`` does not).
-    """
+def _staged_layer_machinery(prep, pack, config):
+    m = _StagedMachinery()
     config = config or {}
     plan, cfg, geom = prep["plan"], prep["cfg"], prep["geom"]
     nside, nb, cw = geom
@@ -229,18 +220,11 @@ def make_staged_exposure_runner(prep, pack, layers, config=None):
     frame_time = float(prep["frame_time"])
     ngrp = len(read_pattern)
     nvec = np.asarray([len(g) for g in read_pattern], np.float32)
+    m.geom, m.na, m.act, m.ngrp = geom, na, act, ngrp
+    m.read_pattern, m.frame_time = read_pattern, frame_time
 
-    core = l1_to_l2._get_core(plan, cfg, geom)
-    simcore = sim_to_l1._l1_core_factory(
-        read_pattern, frame_time, False, cfg["has_ipc"], True
-    )
-    do_amp33 = cfg["use_amp33"]
-    fillcore_active = sim_to_l1._fill_core_factory(
-        tuple(len(g) for g in read_pattern), nside, cw, nb, True,
-        bool(do_amp33), float(pack.c_pink), float(pack.u_pink),
-        float(pack.amp33_m_pink), float(pack.amp33_ru_pink),
-        im_is_active=True,
-    )
+    m.core = l1_to_l2._get_core(plan, cfg, geom)
+    do_amp33 = m.do_amp33 = cfg["use_amp33"]
     fillcore_full = sim_to_l1._fill_core_factory(
         tuple(len(g) for g in read_pattern), nside, cw, nb, True,
         bool(do_amp33), float(pack.c_pink), float(pack.u_pink),
@@ -366,14 +350,134 @@ def make_staged_exposure_runner(prep, pack, layers, config=None):
 
     # every op between stages goes through a jit — eager dispatch is
     # unreliable on the axon relay backend
-    fold = jax.jit(jax.random.fold_in)
-    to_f32 = jax.jit(lambda x: x.astype(jnp.float32))
-    add2 = jax.jit(lambda a, b: a + b)
-    stack_cube = jax.jit(lambda *ds: jnp.stack(ds))
-    zeros_na = jax.jit(lambda: jnp.zeros((na, na), jnp.float32))
+    m.split_keys = split_keys
+    m.perturb_fill = perturb_fill
+    m.dark_as_u16 = dark_as_u16
+    m.diff_zclip = diff_zclip
+    m.o_layer = o_layer
+    m.p_layer = p_layer
+    m.s_layer = s_layer
+    m.final_checksum = final_checksum
+    m.fold = jax.jit(jax.random.fold_in)
+    m.to_f32 = jax.jit(lambda x: x.astype(jnp.float32))
+    m.add2 = jax.jit(lambda a, b: a + b)
+    m.stack_cube = jax.jit(lambda *ds: jnp.stack(ds))
+    m.zeros_na = jax.jit(lambda: jnp.zeros((na, na), jnp.float32))
+    # dark-reference L2 cache: the non-'a' 'R' layers calibrate the
+    # dark cube itself, which is exposure-independent — computed once
+    # and reused across layers AND across run() calls on the same
+    # staged dark cube (id-keyed; entries are (weakable) device arrays)
+    m._dark_ref_cache = {}
+    return m
+
+
+def _run_layers(m, layers, layer_key, arrs0, base, im_u16):
+    """The staged per-layer loop shared by the runners.
+
+    ``layer_key``: base RNG key; each layer folds its index (never a
+    fixed modulo pool — with >6 layers that would bit-correlate layers
+    6/0 and 7/1).  ``arrs0``: staged array bundle whose ``data`` is the
+    base L1 cube; ``im_u16``: the base L1 cube (source for 'Ra' adds).
+    Returns the list of (na, na) device diffs.
+    """
+    fold = m.fold
+    core = m.core
+
+    def dark_ref(arrs0):
+        ck = id(arrs0["dark_cube"])
+        if ck not in m._dark_ref_cache:
+            data_ref = m.dark_as_u16(arrs0["dark_cube"])
+            ref_out = core(dict(arrs0, data=data_ref))
+            m._dark_ref_cache.clear()  # hold at most one exposure's worth
+            m._dark_ref_cache[ck] = (data_ref, ref_out["slope"])
+        return m._dark_ref_cache[ck]
+
+    diffs = []
+    for i_noise, cmd in enumerate(layers):
+        lkey = fold(layer_key, i_noise)
+        diff = None
+        if "R" in cmd:
+            flags = layer_subscript(cmd, "R")
+            if "a" not in flags:
+                src, orig = dark_ref(arrs0)
+            else:
+                orig = base["slope"]
+                src = im_u16
+            new_u16, new_a33 = m.perturb_fill(
+                fold(lkey, 0), src, arrs0["read_sigma"],
+                arrs0["fill_resetnoise"], arrs0["dark_cube"],
+                arrs0["amp33_med"], arrs0["fill_amp33_std"],
+            )
+            del src
+            arrs_r = dict(arrs0, data=new_u16)
+            if m.do_amp33:
+                arrs_r["amp33"] = m.to_f32(new_a33)
+            del new_a33
+            new_out = core(arrs_r)
+            new = new_out["slope"]
+            del new_out, arrs_r, new_u16
+            zc = (
+                float(layer_subscript(flags.upper(), "Z"))
+                if "z" in flags else None
+            )
+            diff = m.diff_zclip(new, orig, zc)
+            del new, orig
+        if "O" in cmd:
+            d = m.o_layer(fold(lkey, 2), base["endslice"],
+                          base["slope_withsky"], arrs0["gain"])
+            diff = d if diff is None else m.add2(diff, d)
+        if "P" in cmd:
+            flags = layer_subscript(cmd, "P")
+            so = (
+                int("0" + layer_subscript(flags.upper(), "B"))
+                if "b" in flags else None
+            )
+            d = m.p_layer(
+                fold(lkey, 3), base["endslice"],
+                base["slope_withsky"], arrs0["gain"], so, "r" in flags,
+            )
+            diff = d if diff is None else m.add2(diff, d)
+        if diff is None:
+            diff = m.zeros_na()
+        if "S" in cmd:
+            diff = m.s_layer(diff, int("0" + layer_subscript(cmd, "S")))
+        diffs.append(diff)
+    return diffs
+
+
+def make_staged_exposure_runner(prep, pack, layers, config=None):
+    """Host-staged full exposure: the same math as
+    :func:`make_full_exposure_core`, issued as a handful of separately
+    jitted stages instead of one fused program.
+
+    Why it exists: the fused single-program form inlines the
+    calibration core three times (base + two 'R'-layer re-entries),
+    which the remote TPU compile service handles poorly at 4096^2
+    (>40 min).  Here the core is compiled ONCE and re-dispatched; all
+    intermediates stay on device (dispatch is async, nothing transfers
+    to the host), so device work and HBM residency are identical.
+
+    Returns ``run(key, arrs) -> (noise_cube, base_out, checksum)`` —
+    all device arrays; ``checksum`` is a scalar data-dependent on every
+    layer, so fetching it synchronizes the whole exposure (the axon
+    relay's ``block_until_ready`` does not).
+    """
+    m = _staged_layer_machinery(prep, pack, config)
+    nside, nb, cw = m.geom
+    read_pattern = m.read_pattern
+    cfg = prep["cfg"]
+    simcore = sim_to_l1._l1_core_factory(
+        read_pattern, m.frame_time, False, cfg["has_ipc"], True
+    )
+    fillcore_active = sim_to_l1._fill_core_factory(
+        tuple(len(g) for g in read_pattern), nside, cw, nb, True,
+        bool(m.do_amp33), float(pack.c_pink), float(pack.u_pink),
+        float(pack.amp33_m_pink), float(pack.amp33_ru_pink),
+        im_is_active=True,
+    )
 
     def run(key, arrs):
-        ks = split_keys(key)
+        ks = m.split_keys(key)
         res, _l1dq = simcore(ks[0], arrs["rate"], arrs)
         im_u16, amp33_u16 = fillcore_active(
             ks[1],
@@ -387,10 +491,10 @@ def make_staged_exposure_runner(prep, pack, layers, config=None):
             },
         )
         arrs0 = dict(arrs, data=im_u16)
-        if do_amp33:
-            arrs0["amp33"] = to_f32(amp33_u16)
+        if m.do_amp33:
+            arrs0["amp33"] = m.to_f32(amp33_u16)
         del amp33_u16, res
-        base_full = core(arrs0)
+        base_full = m.core(arrs0)
         # retain only what the layers consume — dropping rdq & friends
         # frees ~0.8 GB at 4096^2 before the 'R' re-entries run
         base = {
@@ -399,68 +503,41 @@ def make_staged_exposure_runner(prep, pack, layers, config=None):
         }
         del base_full
 
-        diffs = []
-        for i_noise, cmd in enumerate(layers):
-            # per-layer key derived by folding the layer index — never
-            # reuse one of a fixed pool (with >6 layers a modulo pool
-            # would hand layer 6 layer 0's key, bit-correlating their
-            # 'R' realizations; cf. the fused core and the host engine)
-            lkey = fold(ks[2], i_noise)
-            diff = None
-            if "R" in cmd:
-                flags = layer_subscript(cmd, "R")
-                if "a" not in flags:
-                    data_ref = dark_as_u16(arrs["dark_cube"])
-                    ref_out = core(dict(arrs0, data=data_ref))
-                    orig = ref_out["slope"]
-                    del ref_out
-                    src = data_ref
-                else:
-                    orig = base["slope"]
-                    src = im_u16
-                new_u16, new_a33 = perturb_fill(
-                    fold(lkey, 0), src, arrs["read_sigma"],
-                    arrs["fill_resetnoise"], arrs["dark_cube"],
-                    arrs["amp33_med"], arrs["fill_amp33_std"],
-                )
-                if "a" not in flags:
-                    del data_ref, src
-                arrs_r = dict(arrs0, data=new_u16)
-                if do_amp33:
-                    arrs_r["amp33"] = to_f32(new_a33)
-                del new_a33
-                new_out = core(arrs_r)
-                new = new_out["slope"]
-                del new_out, arrs_r, new_u16
-                zc = (
-                    float(layer_subscript(flags.upper(), "Z"))
-                    if "z" in flags else None
-                )
-                diff = diff_zclip(new, orig, zc)
-                del new, orig
-            if "O" in cmd:
-                d = o_layer(fold(lkey, 2), base["endslice"],
-                            base["slope_withsky"], arrs["gain"])
-                diff = d if diff is None else add2(diff, d)
-            if "P" in cmd:
-                flags = layer_subscript(cmd, "P")
-                so = (
-                    int("0" + layer_subscript(flags.upper(), "B"))
-                    if "b" in flags else None
-                )
-                d = p_layer(
-                    fold(lkey, 3), base["endslice"],
-                    base["slope_withsky"], arrs["gain"], so, "r" in flags,
-                )
-                diff = d if diff is None else add2(diff, d)
-            if diff is None:
-                diff = zeros_na()
-            if "S" in cmd:
-                diff = s_layer(diff, int("0" + layer_subscript(cmd, "S")))
-            diffs.append(diff)
+        diffs = _run_layers(m, layers, ks[2], arrs0, base, im_u16)
+        cube = m.stack_cube(*diffs)
+        _, checksum = m.final_checksum(key, cube)
+        return cube, base, checksum
 
-        cube = stack_cube(*diffs)
-        _, checksum = final_checksum(key, cube)
+    return run
+
+
+def make_staged_noise_runner(prep, pack, layers, config=None):
+    """Device-resident noise stack for an EXISTING L1 exposure (the
+    config-driven ``generate_all_noise`` path).
+
+    The host engine (:func:`..noise.make_noise_cube`) round-trips the
+    perturbed ~1 GB cube to the host once per 'R' layer (white-noise
+    add in numpy, re-staging through ``calibrate_tree``); here the cube
+    is staged once and every layer runs as re-dispatches of the same
+    compiled stages the exposure runner uses — only the final
+    (nlayers, na, na) cube leaves the device.
+
+    Returns ``run(key, arrs) -> (noise_cube, base_out, checksum)``;
+    ``arrs`` is ``prep["arr"] | fill_aux_arrays(pack, geom)`` staged to
+    device (``data`` = the base L1 cube, uint16).
+    """
+    m = _staged_layer_machinery(prep, pack, config)
+
+    def run(key, arrs):
+        base_full = m.core(arrs)
+        base = {
+            k: base_full[k]
+            for k in ("slope", "slope_withsky", "endslice", "pdq")
+        }
+        del base_full
+        diffs = _run_layers(m, layers, key, arrs, base, arrs["data"])
+        cube = m.stack_cube(*diffs)
+        _, checksum = m.final_checksum(key, cube)
         return cube, base, checksum
 
     return run
