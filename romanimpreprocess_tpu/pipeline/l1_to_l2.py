@@ -735,6 +735,9 @@ def package_tree(out, prep, l1, config):
         "skyorder": skyorder,
         "skycoefs": np.asarray(out["skycoefs"], np.float32),
         "ramp_opt_pars": prep["uopt"],
+        # which reference files produced this product (the reference's
+        # ProcessLog reffiles intent, ``utils/processlog.py:39``)
+        "reffiles": _jsonable(config.get("CALDIR", {})),
         "meta": {
             "ngrp": meta["ngrp"],
             "N": meta["N"].astype(np.int16),

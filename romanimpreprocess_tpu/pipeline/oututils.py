@@ -30,9 +30,15 @@ def add_in_ref_data(rstruct, l1, pdq, nside, nborder):
     rstruct["dq_border_ref_pix_bottom"] = np.asarray(pdq[:nb, :], np.uint32)
 
 
-def cal_step_status(has_dark_decay, wfi18, wfi18_requested):
+def cal_step_status(has_dark_decay, wfi18, wfi18_requested, has_wcs=False):
     """The cal_step completion dict (reference ``oututils.update_flags``
-    + the per-step markers in ``gen_cal_image``)."""
+    + the per-step markers in ``gen_cal_image:324,570-575``).
+
+    Entries reflect what actually ran: ``assign_wcs`` is COMPLETE only
+    when a WCS was supplied and embedded into the L2 meta (otherwise
+    N/A — area_factor was unity and the product carries no wcsinfo);
+    optional corrections report N/A when their cal input is absent.
+    """
     return {
         "dq_init": "COMPLETE",
         "saturation": "COMPLETE",
@@ -41,11 +47,11 @@ def cal_step_status(has_dark_decay, wfi18, wfi18_requested):
         "dark": "COMPLETE",
         "ramp_fit": "COMPLETE",
         "flat_field": "COMPLETE",
-        "assign_wcs": "COMPLETE",
-        "dark_decay": "COMPLETE" if has_dark_decay else "INCOMPLETE",
+        "assign_wcs": "COMPLETE" if has_wcs else "N/A",
+        "dark_decay": "COMPLETE" if has_dark_decay else "N/A",
         "wfi18_transient": (
             "COMPLETE" if wfi18
-            else ("N/A" if wfi18_requested else "INCOMPLETE")
+            else ("N/A" if wfi18_requested else "SKIPPED")
         ),
     }
 

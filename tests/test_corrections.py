@@ -69,7 +69,7 @@ def test_wfi18_transient_correction(basedir, tmp_path):
     a_no = asdf_lite.open(str(tmp_path / "L2_no.asdf"))["roman"]
     a_tr = asdf_lite.open(str(tmp_path / "L2_tr.asdf"))["roman"]
     assert a_tr["meta"]["cal_step"]["wfi18_transient"] == "COMPLETE"
-    assert a_no["meta"]["cal_step"]["wfi18_transient"] == "INCOMPLETE"
+    assert a_no["meta"]["cal_step"]["wfi18_transient"] == "SKIPPED"
 
     diff = np.asarray(a_tr["data"]) - np.asarray(a_no["data"])
     # reference gates (test_workflow.py:716-724): the correction changes
@@ -117,7 +117,7 @@ def test_dark_decay_correction(basedir, tmp_path):
     a0 = asdf_lite.open(str(tmp_path / "L2_orig.asdf"))
     a1 = asdf_lite.open(str(tmp_path / "L2_dd.asdf"))
     assert a1["roman"]["meta"]["cal_step"]["dark_decay"] == "COMPLETE"
-    assert a0["roman"]["meta"]["cal_step"]["dark_decay"] == "INCOMPLETE"
+    assert a0["roman"]["meta"]["cal_step"]["dark_decay"] == "N/A"
     # sky-subtracted images nearly identical row-wise (reference gate:
     # |median row diff| < 1e-4)
     diff = np.asarray(a1["roman"]["data"]) - np.asarray(a0["roman"]["data"])

@@ -131,6 +131,43 @@ def test_l2_endslice_and_processinfo(workdir):
     assert "log" in pi and "Ramp fit optimized" in pi["log"]
 
 
+def test_l2_wcs_embedded_and_cal_step_truthful(workdir, tmp_path):
+    """The L2 product carries the WCS inside its meta (the reference
+    embeds the gwcs via ``make_asdf(imwcs=repackage_wcs(thewcs))``,
+    ``gen_cal_image.py:653-662``): reopening the L2 alone must recover
+    pix<->sky to 1e-4 px against the sidecar WCS, cal_step must mark
+    assign_wcs COMPLETE, and with no FITSWCS supplied the product has
+    no wcsinfo and assign_wcs is N/A."""
+    from romanimpreprocess_tpu.ops import wcsutils
+
+    d, scene, caldir, c1, c2 = workdir
+    g = asdf_lite.open(d + "/L2.asdf")
+    meta = g["roman"]["meta"]
+    assert meta["cal_step"]["assign_wcs"] == "COMPLETE"
+    wi = meta["wcsinfo"]
+    w1 = wcsutils.SIPWCS.from_header(wi, zero_based=True)
+    h = fits_lite.Header.fromstring(open(c2["FITSWCS"]).read())
+    w0 = wcsutils.SIPWCS.from_header(h, zero_based=True)
+    xs = np.array([0.0, 31.5, NA - 1.0, 7.0])
+    ys = np.array([2.0, NA - 1.0, 64.25, 100.0])
+    ra, dec = w0.pix2world(xs, ys)
+    x1, y1 = w1.world2pix(ra, dec)
+    assert np.max(np.hypot(x1 - xs, y1 - ys)) < 1e-4
+    ra1, dec1 = w1.pix2world(xs, ys)
+    assert np.max(np.abs(ra1 - ra)) < 1e-10 and np.max(np.abs(dec1 - dec)) < 1e-10
+    assert wi["ra_ref"] == pytest.approx(float(h["CRVAL1"]))
+    # provenance: caldir reference-file list recorded in processinfo
+    assert g["processinfo"]["reffiles"]["gain"] == caldir["gain"]
+    # no-WCS run: truthful N/A, no wcsinfo
+    c3 = dict(c2, OUT=str(tmp_path / "L2_nowcs.asdf"), FITSOUT=False,
+              SLICEOUT=False)
+    del c3["FITSWCS"]
+    l1_to_l2.calibrateimage(c3)
+    m2 = asdf_lite.open(c3["OUT"])["roman"]["meta"]
+    assert m2["cal_step"]["assign_wcs"] == "N/A"
+    assert "wcsinfo" not in m2
+
+
 def test_l2_border_ref_data(workdir):
     d, *_ = workdir
     g = asdf_lite.open(d + "/L2.asdf")
