@@ -37,6 +37,7 @@ from ..config import load_config, reads_to_pattern
 from ..dqflags import group as gdq
 from ..io import asdf_lite, calfiles, fits_lite
 from ..ops import ipc, linearity, pink, ramp, rand, wcsutils
+from ..utils import skymodel
 from .. import __version__
 
 # jitted wrappers for host-driven one-off device calls (eager dispatch
@@ -743,9 +744,19 @@ def run_config(config):
         )
 
     x = Image2D("anlsim", fname=config["IN"])
+    # sky background: metadata-driven by default (filter + pointing +
+    # date zodiacal model + thermal floor, like romanisim's
+    # simulate_counts background path, reference sim_to_isim.py:596,637);
+    # SKY_RATE overrides with an explicit e/s/pix scalar
+    if "SKY_RATE" in config:
+        sky_rate = float(config["SKY_RATE"])
+    else:
+        sky_rate = skymodel.sky_background_rate(
+            x.filter, x.ra_, x.dec_, x.date
+        )
     x.simulate(
         use_read_pattern, caldir=caldir, config=config, seed=seed,
-        sky_rate=float(config.get("SKY_RATE", 0.4)),
+        sky_rate=sky_rate,
         frame_time=config.get("FRAME_TIME"),
         persistence=persistence,
     )
