@@ -188,10 +188,15 @@ def ramp_fit_likely(data, rdq, pdq, plan, gain, read_sigma, nborder=4):
 
     # --- initial slope: central-u full-ramp weights ---
     K0 = jnp.asarray(plan.W[nu // 2])  # (nvar, ngrp)
-    slope = jnp.einsum(
+    slope_v = jnp.einsum(
         "vt,tyx->vyx", K0, diffs, preferred_element_type=jnp.float32
     )
-    slope = jnp.take_along_axis(slope, v_idx0[None], axis=0)[0]
+    # variant selection via a where-chain (a take_along_axis here is a
+    # 16M-lane gather on TPU — the codebase-wide rule is select-chains
+    # for small-table per-pixel lookups, cf. _flat_sel / ramp.py)
+    slope = slope_v[nvar - 1]
+    for v in range(nvar - 1):
+        slope = jnp.where(v_idx0 == v, slope_v[v], slope)
 
     def u_bin_of(s):
         u = jnp.clip(s, 1e-6, None) / (gain_c * sig2read)
