@@ -138,6 +138,9 @@ def _poisson_resample_layer(key, e_per_slice, gain, read_pattern, weightvecs,
     )
 
 
+_STAGED_RUNNER_CACHE = {}
+
+
 def make_noise_cube(config, seed=None, *, pack=None, base_l1=None,
                     base_l2=None):
     """Build the (N_layers, nside_active, nside_active) noise cube.
@@ -145,7 +148,86 @@ def make_noise_cube(config, seed=None, *, pack=None, base_l1=None,
     ``pack`` / ``base_l1`` / ``base_l2`` may be passed in memory (the
     bench and in-process pipelines use this); by default they load from
     the config's CALDIR / IN / OUT paths as in the reference.
+
+    Backend: by default the layer stack runs **device-resident**
+    (``noise_core.make_staged_noise_runner`` — the cube is staged once
+    and every layer is a re-dispatch of compiled stages; only the final
+    (nlayers, na, na) cube transfers back).  ``NOISE: {BACKEND: host}``
+    or ``PEARSON_BACKEND: host`` selects the host-staged engine (numpy
+    white noise + per-layer ``calibrate_tree`` re-entry), which is also
+    the fallback if the device path raises.
     """
+    nz = config.get("NOISE", {})
+    backend = str(nz.get("BACKEND", "device")).lower()
+    if backend != "host" and str(nz.get("PEARSON_BACKEND", "jax")) != "host":
+        try:
+            return _make_noise_cube_device(
+                config, seed, pack=pack, base_l1=base_l1, base_l2=base_l2
+            )
+        except Exception as e:
+            if backend == "device-strict":
+                raise
+            print(f"device noise path failed ({e!r}); "
+                  "falling back to host engine", file=sys.stderr)
+    return _make_noise_cube_host(
+        config, seed, pack=pack, base_l1=base_l1, base_l2=base_l2
+    )
+
+
+def _make_noise_cube_device(config, seed=None, *, pack=None, base_l1=None,
+                            base_l2=None):
+    """Device-resident noise stack (see :func:`make_noise_cube`)."""
+    from . import noise_core  # local import (noise_core imports us)
+
+    seed = int(config["NOISE"]["SEED"] if seed is None else seed)
+    key = rand.sim_key(seed)
+    if pack is None:
+        pack = calfiles.load_caldir_cached(config["CALDIR"])
+    if base_l1 is None:
+        base_l1 = asdf_lite.open(config["IN"])["roman"]
+    if base_l2 is None:
+        base_l2 = asdf_lite.open(config["OUT"])
+    if "endslice" not in base_l2["processinfo"]:
+        # same contract as the reference/host path: the base L2 must
+        # have been produced with SLICEOUT=True
+        raise ValueError(
+            "noise generation requires the base L2 run with SLICEOUT=True"
+        )
+    layers = list(config["NOISE"]["LAYER"])
+    area_factor = l1_to_l2.area_factor_from_config(config, pack.nside)
+    prep = l1_to_l2.prepare_inputs(base_l1, config, pack, area_factor)
+
+    ck = (
+        l1_to_l2.core_key(prep["plan"], prep["cfg"], prep["geom"]),
+        tuple(layers),
+        tuple(map(tuple, prep["read_pattern"])),
+        float(prep["frame_time"]),
+        np.asarray(prep["weights_out"], np.float32).tobytes(),
+        float(pack.c_pink), float(pack.u_pink),
+        float(pack.amp33_m_pink), float(pack.amp33_ru_pink),
+    )
+    if ck not in _STAGED_RUNNER_CACHE:
+        _STAGED_RUNNER_CACHE[ck] = noise_core.make_staged_noise_runner(
+            prep, pack, layers, config
+        )
+    run = _STAGED_RUNNER_CACHE[ck]
+
+    arrs = {
+        k: jax.device_put(jnp.asarray(v))
+        for k, v in {
+            **prep["arr"],
+            **noise_core.fill_aux_arrays(pack, prep["geom"]),
+        }.items()
+    }
+    cube, _base, checksum = run(key, arrs)
+    float(checksum)  # scalar fetch synchronizes the whole layer stack
+    return np.asarray(cube, dtype=np.float32)
+
+
+def _make_noise_cube_host(config, seed=None, *, pack=None, base_l1=None,
+                          base_l2=None):
+    """Host-staged noise engine (numpy perturbation + in-memory
+    ``calibrate_tree`` re-entry per layer; reference semantics)."""
     seed = int(config["NOISE"]["SEED"] if seed is None else seed)
     key = rand.sim_key(seed)
     rng = np.random.default_rng(seed)

@@ -108,6 +108,42 @@ def test_noise_o_layer_backends_agree(noisedir, tmp_path):
     assert 0.9 < ratio < 1.1, spreads
 
 
+def test_noise_device_and_host_backends_agree(noisedir, tmp_path):
+    """The default device-resident backend (staged runner; no silent
+    fallback with device-strict) and the host engine produce layer
+    cubes with matching spread on every layer type."""
+    d, c2 = noisedir
+    l2 = asdf_lite.open(d + "/L2.asdf")
+    good = np.asarray(l2["roman"]["dq"]) == 0
+    cubes = {}
+    for backend in ("device-strict", "host"):
+        c3 = dict(c2)
+        c3["NOISE"] = dict(
+            c2["NOISE"], BACKEND=backend,
+            OUT=str(tmp_path / f"b_{backend}.asdf"),
+        )
+        cubes[backend] = noise.make_noise_cube(c3)
+    for j in range(len(c2["NOISE"]["LAYER"])):
+        xd = cubes["device-strict"][j][good]
+        xh = cubes["host"][j][good]
+        sd = np.percentile(xd, 95) - np.percentile(xd, 5)
+        sh = np.percentile(xh, 95) - np.percentile(xh, 5)
+        assert 0.75 < sd / sh < 1.33, (j, sd, sh)
+        assert abs(np.median(xd)) < 0.3
+
+
+def test_noise_device_deterministic_per_seed(noisedir, tmp_path):
+    d, c2 = noisedir
+    c3 = dict(c2)
+    c3["NOISE"] = dict(c2["NOISE"], BACKEND="device-strict",
+                       OUT=str(tmp_path / "det.asdf"))
+    c1 = noise.make_noise_cube(c3)
+    c2_ = noise.make_noise_cube(c3)
+    assert np.array_equal(c1, c2_)
+    c3["NOISE"]["SEED"] = int(c3["NOISE"]["SEED"]) + 1
+    assert not np.array_equal(c1, noise.make_noise_cube(c3))
+
+
 def test_noise_precision16(noisedir, tmp_path):
     d, c2 = noisedir
     c3 = dict(c2)

@@ -102,5 +102,80 @@ def main():
     print(json.dumps({"nside": nside, "stages_ms": out}))
 
 
+def main_cube():
+    """``python tools/profile_exposure.py cube [nside]`` — wall-clock of
+    the config-driven noise path (``noise.make_noise_cube``, now
+    device-resident by default) vs direct staged-runner dispatch on the
+    same exposure.  The config path adds host prep + H2D staging per
+    call; the acceptance bar is staying within ~1.2x of the runner.
+    """
+    import json
+
+    from romanimpreprocess_tpu import benchlib
+    from romanimpreprocess_tpu.pipeline import noise, noise_core
+
+    nside = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
+    layers = ["Rz4S2", "O", "PbrS2"]
+    arr, prep, pack = benchlib.exposure_bundle(nside=nside)
+
+    # a base L1 tree + minimal config for the config-driven path
+    l1 = {
+        "data": np.asarray(prep["arr"]["data"], np.uint16),
+        "amp33": np.full(
+            (len(prep["read_pattern"]), nside, prep["geom"][2]), 29000,
+            np.uint16,
+        ),
+        "meta": {
+            "exposure": {
+                "read_pattern": prep["read_pattern"],
+                "frame_time": prep["frame_time"],
+            },
+            "instrument": {"detector": "WFI04"},
+        },
+    }
+    base_l2 = {"processinfo": {"endslice": np.zeros((2, 2), np.int8)}}
+    config = {
+        # membership-only caldir flags: match the benchlib cfg so the
+        # config path reuses the SAME compiled core as the runner
+        "CALDIR": {"ipc4d": "synthetic"}, "SKYORDER": 2,
+        "NOISE": {"LAYER": layers, "SEED": 7, "BACKEND": "device-strict"},
+    }
+
+    def run_cfg():
+        return noise.make_noise_cube(
+            config, pack=pack, base_l1=l1, base_l2=base_l2
+        )
+
+    run = noise_core.make_staged_noise_runner(prep, pack, layers, config)
+    arrs = {
+        k: jax.device_put(jnp.asarray(v))
+        for k, v in {
+            **prep["arr"],
+            **noise_core.fill_aux_arrays(pack, prep["geom"]),
+        }.items()
+    }
+
+    def run_staged():
+        cube, _b, cs = run(rand.sim_key(7), arrs)
+        float(cs)
+        return cube
+
+    out = {}
+    for name, f in (("config_path", run_cfg), ("staged_runner", run_staged)):
+        f()  # compile / cache
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            f()
+            ts.append(time.perf_counter() - t0)
+        out[name + "_ms"] = round(float(np.median(ts)) * 1e3, 1)
+        print(f"{name:14s} {out[name + '_ms']:9.1f} ms", flush=True)
+    out["ratio"] = round(out["config_path_ms"] / out["staged_runner_ms"], 3)
+    print(json.dumps({"nside": nside, **out}))
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "cube":
+        main_cube()
+    else:
+        main()
