@@ -54,7 +54,8 @@ def make_fpa_calibrator(plan, cfg, geom, mesh):
     return run
 
 
-def calibrate_fpa(configs, mesh=None, write=True, max_workers=8):
+def calibrate_fpa(configs, mesh=None, write=True, max_workers=8,
+                  profile=False):
     """Calibrate a batch of SCAs (one config each) across the mesh.
 
     The focal-plane production path: per-SCA L1 trees and calibration
@@ -74,8 +75,11 @@ def calibrate_fpa(configs, mesh=None, write=True, max_workers=8):
     steps per chip either way.
 
     Returns the list of L2 trees (written to each config's OUT when
-    ``write``).
+    ``write``); with ``profile=True`` returns ``(trees, timings)``
+    where ``timings`` records host staging (load/prepare thread pool),
+    per-group sharded compute, packaging, and write wall-clocks.
     """
+    import time
     from concurrent.futures import ThreadPoolExecutor
 
     from ..io import asdf_lite, calfiles
@@ -83,6 +87,8 @@ def calibrate_fpa(configs, mesh=None, write=True, max_workers=8):
 
     if mesh is None:
         mesh = sca_mesh()
+    timings = {}
+    t0 = time.perf_counter()
 
     def load_one(config):
         pack = calfiles.load_caldir(config["CALDIR"])
@@ -93,6 +99,7 @@ def calibrate_fpa(configs, mesh=None, write=True, max_workers=8):
 
     with ThreadPoolExecutor(max_workers=max_workers) as pool:
         loaded = list(pool.map(load_one, configs))
+    timings["host_staging_s"] = time.perf_counter() - t0
 
     # group by compiled-core identity (MA table, static cfg, geometry)
     groups = {}
@@ -102,7 +109,9 @@ def calibrate_fpa(configs, mesh=None, write=True, max_workers=8):
 
     ndev = mesh.devices.size
     out_by_index = [None] * len(configs)
+    timings["groups"] = []
     for idxs in groups.values():
+        tg = time.perf_counter()
         prep0 = loaded[idxs[0]][1]
         batch = {
             k: np.stack([loaded[i][1]["arr"][k] for i in idxs])
@@ -121,18 +130,30 @@ def calibrate_fpa(configs, mesh=None, write=True, max_workers=8):
         out_all = jax.device_get(run(batch))
         for j, i in enumerate(idxs):
             out_by_index[i] = {k: v[j] for k, v in out_all.items()}
+        timings["groups"].append(
+            {"n_sca": len(idxs), "pad": npad,
+             "compute_s": time.perf_counter() - tg}
+        )
 
+    tp = time.perf_counter()
     trees = []
     for i, (config, (l1, prep)) in enumerate(zip(configs, loaded)):
         trees.append(l1_to_l2.package_tree(out_by_index[i], prep, l1, config))
+    timings["package_s"] = time.perf_counter() - tp
 
     if write:
+        tw = time.perf_counter()
+
         def write_one(args):
             config, tree = args
             asdf_lite.AsdfFile(tree).write_to(config["OUT"])
 
         with ThreadPoolExecutor(max_workers=max_workers) as pool:
             list(pool.map(write_one, zip(configs, trees)))
+        timings["write_s"] = time.perf_counter() - tw
+    timings["total_s"] = time.perf_counter() - t0
+    if profile:
+        return trees, timings
     return trees
 
 
