@@ -397,7 +397,10 @@ def test_pink_mxu_matches_irfft_statistics():
     finally:
         pinkmod.MXU_MIN_LENGTH = old
     va, vb = a.var(), b.var()
-    assert abs(vb / va - 1) < 0.05, (va, vb)
+    # independent 96-frame samples of 1/f noise: the k=1 mode carries
+    # ~20% of the variance with chi^2_2 scatter, so the sample variance
+    # has se ~3% per side — gate at ~3 sigma
+    assert abs(vb / va - 1) < 0.12, (va, vb)
     for x in (a, b):
         flat = x.reshape(96, -1)
         ps = np.abs(np.fft.rfft(flat, axis=1)) ** 2
@@ -413,3 +416,76 @@ def test_pink_mxu_matches_irfft_statistics():
         sel = (f > flo) & (f < fhi)
         r = pb[:, sel].mean() / pa[:, sel].mean()
         assert 0.85 < r < 1.18, (flo, fhi, r)
+
+
+def test_pink_mxu_paired_frames_independent():
+    """The MXU path harvests Re and Im of each transform as two frames;
+    they must be empirically independent (the amp-symmetry argument in
+    pink.pink_frames) with equal pooled variance.  Single-frame
+    statistics of 1/f noise are dominated by the k=1 mode (chi^2_2
+    scatter), so the gates pool across many transform pairs."""
+    from romanimpreprocess_tpu.ops import pink as pinkmod
+
+    old = pinkmod.MXU_MIN_LENGTH
+    try:
+        pinkmod.MXU_MIN_LENGTH = 256
+        n = 1024  # 512 Re/Im pairs at length 2*16*8 = 256
+        x = np.asarray(
+            pinkmod.pink_frames(jax.random.PRNGKey(9), n, 16, 8), np.float64
+        ).reshape(n, -1)
+    finally:
+        pinkmod.MXU_MIN_LENGTH = old
+    ntr = n // 2
+    a, b = x[:ntr], x[ntr:]  # paired: a[j], b[j] share a transform
+    # pooled variance equality (se ~ 1%)
+    assert abs(a.var() / b.var() - 1) < 0.1, (a.var(), b.var())
+    # per-position cross-correlation over the 512 pairs (se ~ 0.044)
+    for pos in (0, 31, 64, 100, 127):
+        r = np.corrcoef(a[:, pos], b[:, pos])[0, 1]
+        assert abs(r) < 0.2, (pos, r)
+    # spectral-coefficient independence: same-k Fourier coefficients of
+    # paired frames are uncorrelated
+    fa = np.fft.rfft(a, axis=1)
+    fb = np.fft.rfft(b, axis=1)
+    for k in (1, 3, 10, 40):
+        r = np.corrcoef(fa[:, k].real, fb[:, k].real)[0, 1]
+        assert abs(r) < 0.2, (k, r)
+
+
+def test_pink_mxu_full_length_spectral_gate():
+    """Full production transform length (2*4096*128 = 2^20, n1=n2=1024
+    bf16 matmuls): quantized-DFT error must not distort the spectrum.
+    Slow on CPU -> opt-in via ROMAN_SLOW=1 or ROMAN_TPU_FULL=1
+    (advisor round-2 low finding)."""
+    import os
+
+    import pytest
+
+    if os.environ.get("ROMAN_SLOW") != "1" and (
+        os.environ.get("ROMAN_TPU_FULL") != "1"
+    ):
+        pytest.skip("full-length pink gate (set ROMAN_SLOW=1)")
+    from romanimpreprocess_tpu.ops import pink as pinkmod
+
+    x = np.asarray(
+        jax.jit(pinkmod.pink_frames, static_argnums=(1, 2, 3))(
+            jax.random.PRNGKey(11), 4, 4096, 128
+        ),
+        np.float64,
+    ).reshape(4, -1)
+    assert x.shape[1] == 4096 * 128
+    assert np.isfinite(x).all()
+    ps = np.abs(np.fft.rfft(x, axis=1)) ** 2
+    f = np.fft.rfftfreq(x.shape[1])
+    # analytic: S(f) ~ 1/f -> band-mean power ratio between decades
+    # equals the ratio of band-averaged 1/f
+    for flo, fhi in ((1e-4, 1e-3), (1e-3, 1e-2), (1e-2, 1e-1)):
+        sel_lo = (f > flo) & (f <= fhi)
+        sel_hi = (f > flo * 10) & (f <= fhi * 10)
+        r = ps[:, sel_lo].mean() / ps[:, sel_hi].mean()
+        assert 6.0 < r < 16.0, (flo, r)  # exact 1/f gives ~10
+    # bf16 rounding must not inject a white floor: the top-octave power
+    # stays far below the bottom-octave power
+    top = ps[:, f > 0.25].mean()
+    bot = ps[:, (f > 1e-4) & (f < 1e-3)].mean()
+    assert top < 0.01 * bot
