@@ -176,14 +176,28 @@ def _accumulate_resultants(key, lam_per_read, read_pattern, crparam):
         )
         ev_y = jnp.clip(ev_y, 0, na - 1)
         ev_x = jnp.clip(ev_x, 0, na - 1)
-        incs = incs.at[ev_r, ev_y, ev_x].add(
-            (ev_q * keep).astype(jnp.float32)
-        )
-        crh = crh.at[ev_y, ev_x].add(keep.astype(jnp.int32))
 
     res = jnp.einsum(
         "jr,ryx->jyx", T_d, incs, preferred_element_type=jnp.float32
     )
+    if do_cr:
+        # deposit CRs in the RESULTANT domain: a hit at read r adds q
+        # to every cumsum at reads >= r, so its per-resultant weight is
+        # exactly T[j, r] (the cumulative-membership column).  This
+        # keeps the Poisson cube (nreads planes, ~1 GB at 4096^2) out
+        # of the scatter entirely — the scatter target shrinks to the
+        # (ngrp, na, na) output and the event count is unchanged.
+        # w[j, e] = T[j, r_e] via a one-hot matmul (the event list is
+        # ~18k rows; a gather would serialize on TPU).
+        onehot_r = (
+            ev_r[:, None] == jnp.arange(nreads, dtype=ev_r.dtype)[None]
+        ).astype(jnp.float32)
+        w = jax.lax.dot_general(
+            T_d, onehot_r, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (ngrp, nev)
+        res = res.at[:, ev_y, ev_x].add(w * (ev_q * keep)[None])
+        crh = crh.at[ev_y, ev_x].add(keep.astype(jnp.int32))
     return res, crh
 
 
