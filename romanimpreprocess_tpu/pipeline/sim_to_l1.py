@@ -388,21 +388,39 @@ def _fill_core_factory(nvec, nside, channelwidth, nborder, fill_in_banding,
     def core(key, arrs):
         k_white, k_reset, k_pink, k_a33 = jax.random.split(key, 4)
 
-        noise = (
-            jax.random.normal(k_white, (ngrp, nside, nside))
-            * arrs["read_sigma"][None]
-            / jnp.sqrt(jnp.asarray(nvec_np))[:, None, None]
-        )
-        reset = jax.random.normal(k_reset, (nside, nside)) * arrs["resetnoise"]
-        noise = noise + reset[None]
-        noise = noise + arrs["dark_cube"]
+        # The synthetic-dark noise (white/sqrt(N) + shared reset + dark
+        # ramp) only survives on the 4-pixel reference border — the
+        # active region is overwritten by the science data — so it is
+        # drawn per border STRIP, not per full frame (at 4096^2 a
+        # full-frame draw wastes ~100M normals, ~99.6% of the RNG).
+        sq = jnp.sqrt(jnp.asarray(nvec_np))[:, None, None]
 
-        # active region <- data
+        def strip(kk, sl_y, sl_x, shape):
+            w = jax.random.normal(jax.random.fold_in(k_white, kk), shape)
+            r = jax.random.normal(
+                jax.random.fold_in(k_reset, kk), shape[1:]
+            )
+            return (
+                w * arrs["read_sigma"][sl_y, sl_x][None] / sq
+                + (r * arrs["resetnoise"][sl_y, sl_x])[None]
+                + arrs["dark_cube"][:, sl_y, sl_x]
+            )
+
+        mid_y = slice(nb, nside - nb)
+        bot = strip(0, slice(0, nb), slice(None), (ngrp, nb, nside))
+        top = strip(1, slice(nside - nb, nside), slice(None),
+                    (ngrp, nb, nside))
+        left = strip(2, mid_y, slice(0, nb), (ngrp, nside - 2 * nb, nb))
+        right = strip(3, mid_y, slice(nside - nb, nside),
+                      (ngrp, nside - 2 * nb, nb))
+
         src = (
             arrs["im"] if im_is_active
             else arrs["im"][:, nb:-nb, nb:-nb]
+        ).astype(jnp.float32)
+        noise = jnp.concatenate(
+            [bot, jnp.concatenate([left, src, right], axis=2), top], axis=1
         )
-        noise = noise.at[:, nb:-nb, nb:-nb].set(src.astype(noise.dtype))
 
         amp33_out = jnp.zeros((ngrp, nside, channelwidth), jnp.uint16)
         if fill_in_banding:
