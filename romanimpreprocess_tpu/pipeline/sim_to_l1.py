@@ -589,6 +589,15 @@ class Image2D:
                 "pointing": {
                     "ra": self.ra_, "dec": self.dec_, "pa": self.pa_,
                 },
+                # SIP cards of the science-frame WCS (the reference
+                # stamps pointing+wcsinfo into the L1 meta via romanisim
+                # util.update_pointing_and_wcsinfo_metadata,
+                # sim_to_isim.py:647); the sidecar text file remains the
+                # parity surface for L1->L2
+                "wcsinfo": dict(
+                    self.wcs.to_cards(),
+                    pixel_convention="0-based, active region",
+                ),
             },
             "data": im_u16,
             "resultantdq": np.asarray(l1dq),

@@ -64,6 +64,11 @@ def test_l1_format(workdir):
     # WCS sidecar exists and parses
     h = fits_lite.Header.fromstring(open(d + "/L1_asdf_wcshead.txt").read())
     assert "CRVAL1" in h
+    # L1 meta carries the same WCS cards (reference stamps wcsinfo via
+    # romanisim util.update_pointing_and_wcsinfo_metadata)
+    wi = r["meta"]["wcsinfo"]
+    assert wi["CRVAL1"] == float(h["CRVAL1"])
+    assert wi["CD1_1"] == float(h["CD1_1"])
 
 
 def test_l2_slope_recovers_signal(workdir):
