@@ -1,0 +1,144 @@
+"""Prefix-differenced stage attribution for the staged exposure runner.
+
+Times cumulative prefixes of ``make_staged_exposure_runner``'s stage
+sequence (sim, fill, base cal, R layer, O layer, P layer, stack) with
+the chained-key harness; consecutive differences attribute wall-clock
+to each stage as actually dispatched.  Usage:
+
+    python tools/profile_staged.py [nside]
+
+Reference workload: ``OpenUniverse_to_L1L2.py:155-169`` (sim -> L1 ->
+L2 -> noise layers).
+"""
+
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from romanimpreprocess_tpu import benchlib
+from romanimpreprocess_tpu.ops import rand
+from romanimpreprocess_tpu.pipeline import noise_core, sim_to_l1
+from romanimpreprocess_tpu.pipeline.noise_core import _run_layers
+
+LAYERS = ["Rz4S2", "O", "PbrS2"]
+
+
+def build(nside):
+    arr, prep, pack = benchlib.exposure_bundle(nside=nside)
+    pallas = jax.default_backend() != "cpu"  # CPU = harness smoke only
+    prep = dict(
+        prep,
+        cfg=dict(prep["cfg"], ipc_pallas=pallas, lin_pallas=pallas,
+                 med_pallas=pallas),
+    )
+    m = noise_core._staged_layer_machinery(prep, pack, None)
+    cfg = prep["cfg"]
+    read_pattern = m.read_pattern
+    simcore = sim_to_l1._l1_core_factory(
+        read_pattern, m.frame_time, False, cfg["has_ipc"], True
+    )
+    fillcore_active = sim_to_l1._fill_core_factory(
+        tuple(len(g) for g in read_pattern), nside, m.geom[2], m.geom[1],
+        True, bool(m.do_amp33), float(pack.c_pink), float(pack.u_pink),
+        float(pack.amp33_m_pink), float(pack.amp33_ru_pink),
+        im_is_active=True,
+    )
+    arr = {
+        k: v for k, v in arr.items()
+        if k not in ("data", "biascorr", "dark_dq")
+    }
+    arrs = {k: jax.device_put(jnp.asarray(v)) for k, v in arr.items()}
+
+    cksum = jax.jit(
+        lambda k, x: jax.random.fold_in(
+            k,
+            jnp.where(jnp.isfinite(jnp.float32(jnp.sum(x[..., :1, :1]))),
+                      1, 0).astype(jnp.int32),
+        )
+    )
+
+    def prefix(key, arrs, depth):
+        ks = m.split_keys(key)
+        res, _dq = simcore(ks[0], arrs["rate"], arrs)
+        if depth == 0:
+            return cksum(key, res)
+        im_u16, amp33_u16 = fillcore_active(
+            ks[1],
+            {
+                "im": res,
+                "read_sigma": arrs["read_sigma"],
+                "resetnoise": arrs["fill_resetnoise"],
+                "dark_cube": arrs["dark_cube"],
+                "amp33_med": arrs["amp33_med"],
+                "amp33_std": arrs["fill_amp33_std"],
+            },
+        )
+        if depth == 1:
+            return cksum(key, im_u16)
+        arrs0 = dict(arrs, data=im_u16)
+        if m.do_amp33:
+            arrs0["amp33"] = m.to_f32(amp33_u16)
+        del amp33_u16, res
+        base_full = m.core(arrs0)
+        base = {
+            k: base_full[k]
+            for k in ("slope", "slope_withsky", "endslice", "pdq")
+        }
+        del base_full
+        if depth == 2:
+            return cksum(key, base["slope"])
+        diffs = _run_layers(m, LAYERS[: depth - 2], ks[2], arrs0, base,
+                            im_u16)
+        if depth < 6:
+            return cksum(key, diffs[-1])
+        cube = m.stack_cube(*diffs)
+        return cksum(key, cube)
+
+    return m, arrs, prefix
+
+
+def timed(fn, n_lo=1, n_hi=3):
+    def chain(n):
+        # every prefix returns a fresh key data-dependent on its last
+        # product, so feeding it forward serializes the iterations
+        key = rand.sim_key(5)
+        for _ in range(n):
+            key = fn(key)
+        return jax.device_get(jax.random.key_data(key))
+
+    chain(n_lo)
+    chain(n_hi)
+    best = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        chain(n_lo)
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        chain(n_hi)
+        t_hi = time.perf_counter() - t0
+        best.append((t_hi - t_lo) / (n_hi - n_lo))
+    return min(best)
+
+
+def main():
+    nside = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    m, arrs, prefix = build(nside)
+    names = ["sim", "+fill", "+base_cal", "+R", "+O", "+P", "+stack"]
+    prev = 0.0
+    for depth, name in enumerate(names):
+        dt = timed(functools.partial(
+            lambda key, d: prefix(key, arrs, d), d=depth))
+        print(f"{name:12s} cum {dt*1e3:8.1f} ms   stage "
+              f"{(dt - prev)*1e3:8.1f} ms", flush=True)
+        prev = dt
+
+
+if __name__ == "__main__":
+    main()
