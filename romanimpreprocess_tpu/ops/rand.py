@@ -7,6 +7,9 @@ This sampler is fixed-trip-count and fully vectorized:
 - lam <= 10: exact inverse-CDF by a fixed recurrence (40 steps; 18 when
   no lane in the chunk exceeds lam 3.5 — a scalar ``lax.cond``, so the
   sky-dominated regime pays the short loop), pure fused multiply-adds;
+- whole chunk at lam <= 32: one shared 76-step exact recurrence for all
+  lanes (the noise engine's sky-dominated 'P' resampling at ~16 e/read
+  lands here — no PTRS transcendentals at all);
 - lam > 10: Hormann's PTRS transformed rejection with a fixed number of
   unrolled rounds (acceptance ~0.94/round, 6 rounds leave < 1e-7
   unfilled), falling back to a moment-matched rounded normal for any
@@ -50,6 +53,12 @@ SMALL_STEPS = 40
 #: short-recurrence tier: P(X > 18 | lam <= 3.5) < 4e-10
 SMALL_LAM_LO = 3.5
 SMALL_STEPS_LO = 18
+#: mid tier: when a whole chunk sits at lam <= 32 (e.g. the noise
+#: engine's sky-dominated 'P' resampling at ~16 e/read), one shared
+#: 76-step CDF recurrence replaces BOTH the small/PTRS split and all
+#: of PTRS's per-round transcendentals; P(X > 76 | lam = 32) < 1e-11
+MID_LAM_MAX = 32.0
+MID_STEPS = 76
 PTRS_ROUNDS = 6
 
 _HALF_LOG_2PI = 0.9189385332046727
@@ -104,8 +113,15 @@ def _poisson_ptrs(key, lam, shape):
     filled = jnp.zeros(shape, bool)
     for r in range(PTRS_ROUNDS):
         kr = jax.random.fold_in(key, r)
-        u = jax.random.uniform(jax.random.fold_in(kr, 0), shape) - 0.5
-        v = jax.random.uniform(jax.random.fold_in(kr, 1), shape)
+        # one 32-bit word per lane per round, split 16/16 into (u, v):
+        # RNG volume is the dominant cost of a full-frame multi-read
+        # draw, and 16-bit uniforms only perturb the pmf near the
+        # per-k candidate boundaries (total-variation error
+        # <~ n_k * 2^-16 ~ 1e-4, far below the 200k-sample chi-square
+        # gate's resolution and any physics tolerance here)
+        bits = jax.random.bits(kr, shape, jnp.uint32)
+        u = (jnp.float32(bits >> 16) + 0.5) * jnp.float32(2**-16) - 0.5
+        v = (jnp.float32(bits & 0xFFFF) + 0.5) * jnp.float32(2**-16)
         us = 0.5 - jnp.abs(u)
         cand = jnp.floor((2.0 * a / us + b) * u + lam + 0.43)
         # fast acceptance
@@ -213,22 +229,58 @@ def _poisson_masked(key, lam, shape):
     above SMALL_LAM_MAX; use the short CDF recurrence when no small
     lane is above SMALL_LAM_LO."""
     k_small, k_big = jax.random.split(key)
-    u = jax.random.uniform(k_small, shape)
-    lam_s = jnp.minimum(lam, SMALL_LAM_MAX)
-    small = jax.lax.cond(
-        jnp.max(lam_s) > SMALL_LAM_LO,
-        lambda: _poisson_small(u, lam_s, SMALL_STEPS),
-        lambda: _poisson_small(u, lam_s, SMALL_STEPS_LO),
-    )
-    big = jax.lax.cond(
-        jnp.any(lam > SMALL_LAM_MAX),
-        lambda: _poisson_ptrs(
+    lam_max = jnp.max(lam)
+
+    def _mid_draw():
+        # whole chunk at lam <= MID_LAM_MAX: ONE exact shared CDF
+        # recurrence for every lane (no small/PTRS split, no
+        # transcendentals beyond the initial exp(-lam))
+        u = jax.random.uniform(k_small, shape)
+        return _poisson_small(u, lam, MID_STEPS)
+
+    def _split_draw():
+        lam_s = jnp.minimum(lam, SMALL_LAM_MAX)
+
+        def _small_draw():
+            u = jax.random.uniform(k_small, shape)
+            return jax.lax.cond(
+                jnp.max(lam_s) > SMALL_LAM_LO,
+                lambda: _poisson_small(u, lam_s, SMALL_STEPS),
+                lambda: _poisson_small(u, lam_s, SMALL_STEPS_LO),
+            )
+
+        # skip the CDF recurrence (and its uniform draw) entirely when
+        # no lane is in the small regime
+        small = jax.lax.cond(
+            jnp.min(lam) <= SMALL_LAM_MAX,
+            _small_draw,
+            lambda: jnp.zeros(shape, jnp.float32),
+        )
+        big = _poisson_ptrs(
             k_big, jnp.maximum(lam, SMALL_LAM_MAX + 1e-3), shape
+        )
+        return jnp.where(
+            jnp.broadcast_to(lam <= SMALL_LAM_MAX, shape), small, big
+        )
+
+    def _tiered():
+        return jax.lax.cond(
+            lam_max <= MID_LAM_MAX, _mid_draw, _split_draw
+        )
+
+    # all-small chunks keep the short-recurrence fast path
+    return jax.lax.cond(
+        lam_max <= SMALL_LAM_MAX,
+        lambda: jax.lax.cond(
+            lam_max > SMALL_LAM_LO,
+            lambda: _poisson_small(
+                jax.random.uniform(k_small, shape), lam, SMALL_STEPS
+            ),
+            lambda: _poisson_small(
+                jax.random.uniform(k_small, shape), lam, SMALL_STEPS_LO
+            ),
         ),
-        lambda: jnp.zeros(shape, jnp.float32),
-    )
-    return jnp.where(
-        jnp.broadcast_to(lam <= SMALL_LAM_MAX, shape), small, big
+        _tiered,
     )
 
 

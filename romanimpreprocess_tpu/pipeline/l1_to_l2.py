@@ -344,6 +344,12 @@ def make_core(plan, cfg, geom):
             # dumo is slope-like -> flat-field it (gen_cal_image.py:671)
             out["dumo"] = dumo / flat
             out["chisq"] = chisq
+        if cfg.get("outputs"):
+            # restricted-output variant: XLA dead-code-eliminates every
+            # op feeding only dropped fields (e.g. a slope-only core for
+            # noise-layer re-entries skips the error/variance maps and
+            # the smooth-mode sky diagnostic entirely)
+            out = {k: out[k] for k in cfg["outputs"]}
         return out
 
     return jax.jit(core)

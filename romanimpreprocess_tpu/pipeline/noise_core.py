@@ -224,6 +224,19 @@ def _staged_layer_machinery(prep, pack, config):
     m.read_pattern, m.frame_time = read_pattern, frame_time
 
     m.core = l1_to_l2._get_core(plan, cfg, geom)
+    # noise-layer 'R' re-entries consume ONLY the slope — a restricted-
+    # output core lets XLA dead-code-eliminate the error/variance maps,
+    # the smooth-mode sky diagnostic, and the dq packaging of those
+    # re-runs (~25% of the calibration core's wall clock)
+    m.core_r = l1_to_l2._get_core(
+        plan, dict(cfg, outputs=("slope",)), geom
+    )
+    # the base calibration feeding the layers needs only these four
+    m.core_base = l1_to_l2._get_core(
+        plan,
+        dict(cfg, outputs=("slope", "slope_withsky", "endslice", "pdq")),
+        geom,
+    )
     do_amp33 = m.do_amp33 = cfg["use_amp33"]
     fillcore_full = sim_to_l1._fill_core_factory(
         tuple(len(g) for g in read_pattern), nside, cw, nb, True,
@@ -286,16 +299,23 @@ def _staged_layer_machinery(prep, pack, config):
     def dark_as_u16(dark_cube):
         return jnp.clip(dark_cube, 0, 65535).astype(jnp.uint16)
 
-    @functools.partial(jax.jit, static_argnames=("zclip",))
-    def diff_zclip(new_slope, orig_slope, zclip):
+    @functools.partial(jax.jit, static_argnames=("zclip", "sky_order"))
+    def diff_zclip(new_slope, orig_slope, zclip, sky_order=None):
         diff = new_slope[act, act] - orig_slope[act, act]
-        if zclip is None:
-            return diff
-        q25, med, q75 = sky.bisect_quantiles(diff, (0.25, 0.5, 0.75))
-        iqr = q75 - q25
-        return jnp.clip(
-            diff, med - zclip * iqr / 1.34896, med + zclip * iqr / 1.34896
-        )
+        if zclip is not None:
+            q25, med, q75 = sky.bisect_quantiles(diff, (0.25, 0.5, 0.75))
+            iqr = q75 - q25
+            diff = jnp.clip(
+                diff,
+                med - zclip * iqr / 1.34896,
+                med + zclip * iqr / 1.34896,
+            )
+        if sky_order is not None:
+            # trailing 'S' of a pure-'R' layer fused into the same
+            # program (one dispatch, no extra diff materialization)
+            _, model = sky.medfit(diff, order=sky_order)
+            diff = diff - model
+        return diff
 
     @jax.jit
     def o_layer(key, endslice, withsky, gain):
@@ -318,8 +338,11 @@ def _staged_layer_machinery(prep, pack, config):
         )
         return draw * hasw / gain_a
 
-    @functools.partial(jax.jit, static_argnames=("sky_order", "resample"))
-    def p_layer(key, endslice, withsky, gain, sky_order, resample):
+    @functools.partial(
+        jax.jit, static_argnames=("sky_order", "resample", "final_sky_order")
+    )
+    def p_layer(key, endslice, withsky, gain, sky_order, resample,
+                final_sky_order=None):
         gain_a = jnp.clip(gain, 1e-4, 1e4)[act, act]
         es = endslice.astype(jnp.int32)
         endslice_c = jnp.where(es > 0, es, ngrp - 1)
@@ -329,12 +352,18 @@ def _staged_layer_machinery(prep, pack, config):
         else:
             skylevel = w
         if not resample:
-            return jnp.zeros((na, na), jnp.float32)
-        e_exp = jnp.clip(skylevel * gain_a * frame_time, 0.0, None)
-        return resample_traced(
-            jax.random.fold_in(key, 1), e_exp, gain_a, endslice_c,
-            read_pattern, weightvecs, ngrp,
-        )
+            diff = jnp.zeros((na, na), jnp.float32)
+        else:
+            e_exp = jnp.clip(skylevel * gain_a * frame_time, 0.0, None)
+            diff = resample_traced(
+                jax.random.fold_in(key, 1), e_exp, gain_a, endslice_c,
+                read_pattern, weightvecs, ngrp,
+            )
+        if final_sky_order is not None:
+            # trailing 'S' of a pure-'P' layer fused into this program
+            _, model = sky.medfit(diff, order=final_sky_order)
+            diff = diff - model
+        return diff
 
     @functools.partial(jax.jit, static_argnames=("sky_order",))
     def s_layer(diff, sky_order):
@@ -381,7 +410,7 @@ def _run_layers(m, layers, layer_key, arrs0, base, im_u16):
     Returns the list of (na, na) device diffs.
     """
     fold = m.fold
-    core = m.core
+    core = m.core_r  # 'R' re-entries need only the slope (see above)
 
     def dark_ref(arrs0):
         ck = id(arrs0["dark_cube"])
@@ -395,6 +424,14 @@ def _run_layers(m, layers, layer_key, arrs0, base, im_u16):
     diffs = []
     for i_noise, cmd in enumerate(layers):
         lkey = fold(layer_key, i_noise)
+        comps = [c for c in "ROP" if c in cmd]
+        s_ord = (
+            int("0" + layer_subscript(cmd, "S")) if "S" in cmd else None
+        )
+        # a single-component 'R' or 'P' layer fuses its trailing 'S'
+        # medfit into that component's program; other layers apply it
+        # to the summed diff via the standalone s_layer stage
+        fuse_s = s_ord if comps in (["R"], ["P"]) else None
         diff = None
         if "R" in cmd:
             flags = layer_subscript(cmd, "R")
@@ -420,7 +457,7 @@ def _run_layers(m, layers, layer_key, arrs0, base, im_u16):
                 float(layer_subscript(flags.upper(), "Z"))
                 if "z" in flags else None
             )
-            diff = m.diff_zclip(new, orig, zc)
+            diff = m.diff_zclip(new, orig, zc, fuse_s)
             del new, orig
         if "O" in cmd:
             d = m.o_layer(fold(lkey, 2), base["endslice"],
@@ -435,12 +472,13 @@ def _run_layers(m, layers, layer_key, arrs0, base, im_u16):
             d = m.p_layer(
                 fold(lkey, 3), base["endslice"],
                 base["slope_withsky"], arrs0["gain"], so, "r" in flags,
+                final_sky_order=fuse_s,
             )
             diff = d if diff is None else m.add2(diff, d)
         if diff is None:
             diff = m.zeros_na()
-        if "S" in cmd:
-            diff = m.s_layer(diff, int("0" + layer_subscript(cmd, "S")))
+        if s_ord is not None and fuse_s is None:
+            diff = m.s_layer(diff, s_ord)
         diffs.append(diff)
     return diffs
 
@@ -494,14 +532,9 @@ def make_staged_exposure_runner(prep, pack, layers, config=None):
         if m.do_amp33:
             arrs0["amp33"] = m.to_f32(amp33_u16)
         del amp33_u16, res
-        base_full = m.core(arrs0)
-        # retain only what the layers consume — dropping rdq & friends
-        # frees ~0.8 GB at 4096^2 before the 'R' re-entries run
-        base = {
-            k: base_full[k]
-            for k in ("slope", "slope_withsky", "endslice", "pdq")
-        }
-        del base_full
+        # restricted-output base core: only what the layers (and the
+        # exposure-runner contract) consume is computed or materialized
+        base = m.core_base(arrs0)
 
         diffs = _run_layers(m, layers, ks[2], arrs0, base, im_u16)
         cube = m.stack_cube(*diffs)
@@ -529,12 +562,7 @@ def make_staged_noise_runner(prep, pack, layers, config=None):
     m = _staged_layer_machinery(prep, pack, config)
 
     def run(key, arrs):
-        base_full = m.core(arrs)
-        base = {
-            k: base_full[k]
-            for k in ("slope", "slope_withsky", "endslice", "pdq")
-        }
-        del base_full
+        base = m.core_base(arrs)
         diffs = _run_layers(m, layers, key, arrs, base, arrs["data"])
         cube = m.stack_cube(*diffs)
         _, checksum = m.final_checksum(key, cube)

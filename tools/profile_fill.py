@@ -1,0 +1,145 @@
+"""Sub-stage attribution for the refdata/1-f fill core.
+
+The staged-exposure profile (``tools/profile_staged.py``) shows fill as
+the largest single stage (~87 ms at 4096^2, and it runs twice per
+exposure: once for the base L1 and once inside each 'R' noise layer).
+This tool times its internals with the chained-key harness:
+
+  white      hardware-RBG normal draw for the pink spectra alone
+  fft        amp-shaped spectrum -> two-stage MXU Cooley-Tukey FFT
+  pink       full pink_frames (white + shape + fft + mean-subtract)
+  noband     fill core with banding disabled (strips + concat + clip)
+  fill       the full fill core as dispatched in production
+
+Usage: python tools/profile_fill.py [nside]
+"""
+
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from romanimpreprocess_tpu import benchlib
+from romanimpreprocess_tpu.ops import pink, rand
+from romanimpreprocess_tpu.pipeline import sim_to_l1
+
+NVEC = tuple(len(g) for g in benchlib.READ_PATTERN_DEFAULT)
+
+
+def cksum(key, x):
+    return jax.random.fold_in(
+        key,
+        jnp.where(jnp.isfinite(jnp.float32(jnp.sum(x[..., :1, :1]))),
+                  1, 0).astype(jnp.int32),
+    )
+
+
+def build(nside):
+    cw = max(nside // 32, 4)
+    nch = nside // cw
+    ngrp = len(NVEC)
+    nframes = ngrp * (1 + nch + 1)
+    length = 2 * nside * cw
+    ntr = (nframes + 1) // 2
+
+    arr, prep, pack = benchlib.exposure_bundle(nside=nside)
+    fill_arrs = {
+        "im": np.zeros((ngrp, nside - 8, nside - 8), np.float32),
+        "read_sigma": arr["read_sigma"],
+        "resetnoise": arr["fill_resetnoise"],
+        "dark_cube": arr["dark_cube"],
+        "amp33_med": arr["amp33_med"],
+        "amp33_std": arr["fill_amp33_std"],
+    }
+    fill_arrs = {k: jax.device_put(jnp.asarray(v)) for k, v in
+                 fill_arrs.items()}
+
+    @jax.jit
+    def white(key):
+        w = jax.random.normal(key, (ntr, 2, length), dtype=jnp.float32)
+        return cksum(key, w)
+
+    n1 = 1 << ((length.bit_length() - 1) // 2)
+    n2 = length // n1
+
+    @jax.jit
+    def fft(key):
+        # constant spectrum (no RNG) through the two-stage MXU path
+        k_idx = jnp.arange(length, dtype=jnp.float32)
+        k_fold = jnp.minimum(k_idx, length - k_idx)
+        amp = (1.0e-99 + k_fold) ** (-0.5)
+        spec = jnp.broadcast_to(amp, (ntr, length))
+        xr, xi = pink._fft_ct(spec, spec, n1, n2, both=True)
+        return cksum(key, xr + xi)
+
+    @jax.jit
+    def pinkf(key):
+        fr = pink.pink_frames(key, nframes, nside, cw)
+        return cksum(key, fr)
+
+    def fillfn(banding):
+        core = sim_to_l1._fill_core_factory(
+            NVEC, nside, cw, 4, banding, True,
+            float(pack.c_pink), float(pack.u_pink),
+            float(pack.amp33_m_pink), float(pack.amp33_ru_pink),
+            im_is_active=True,
+        )
+
+        # arrs passed as an ARGUMENT (closing device arrays over the
+        # jit embeds them as constants -> remote-compile HTTP 413)
+        @jax.jit
+        def fn(key, arrs):
+            im_u16, _a33 = core(key, arrs)
+            return cksum(key, im_u16)
+
+        return functools.partial(fn, arrs=fill_arrs)
+
+    return {
+        "white": white,
+        "fft": fft,
+        "pink": pinkf,
+        "noband": fillfn(False),
+        "fill": fillfn(True),
+    }
+
+
+def timed(fn, n_lo=1, n_hi=4):
+    def chain(n):
+        key = rand.sim_key(11)
+        for _ in range(n):
+            key = fn(key)
+        return jax.device_get(jax.random.key_data(key))
+
+    chain(n_lo)
+    chain(n_hi)
+    best = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        chain(n_lo)
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        chain(n_hi)
+        t_hi = time.perf_counter() - t0
+        best.append((t_hi - t_lo) / (n_hi - n_lo))
+    return min(best)
+
+
+def main():
+    nside = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    fns = build(nside)
+    for name, fn in fns.items():
+        if only and name not in only:
+            continue
+        dt = timed(fn)
+        print(f"{name:8s} {dt*1e3:8.1f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -86,12 +86,7 @@ def build(nside):
         if m.do_amp33:
             arrs0["amp33"] = m.to_f32(amp33_u16)
         del amp33_u16, res
-        base_full = m.core(arrs0)
-        base = {
-            k: base_full[k]
-            for k in ("slope", "slope_withsky", "endslice", "pdq")
-        }
-        del base_full
+        base = m.core_base(arrs0)
         if depth == 2:
             return cksum(key, base["slope"])
         diffs = _run_layers(m, LAYERS[: depth - 2], ks[2], arrs0, base,
