@@ -242,7 +242,8 @@ def _bench_sim(jax, jnp, functools, benchlib, nside):
         "biascorr": np.zeros((ngrp, na, na), np.float32),
         "biascorr_t0": np.float32(0.0),
     }
-    core = sim_to_l1._l1_core_factory(rp, 3.04, False, True, True)
+    core = sim_to_l1._l1_core_factory(rp, 3.04, False, True, True,
+                                       ipc_pallas=True)
 
     @functools.partial(jax.jit, static_argnums=3)
     def chained(key, rate0, arrs_d, n):

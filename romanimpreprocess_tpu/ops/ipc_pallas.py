@@ -134,6 +134,72 @@ def ipc_rev2_cube_blocked(cube, kernel, gain=None, th=16, interpret=False,
     return res
 
 
+def _ipc_fwd_kernel_blocked(ya, yc, yb, ka, kc, kb, out_ref, *, th):
+    """Single forward K application (same slab/halo layout as the
+    order-2 inverse kernel)."""
+    y = jnp.concatenate([ya[...], yc[...], yb[...]], axis=1)
+    k = jnp.concatenate([ka[...], kc[...], kb[...]], axis=1)
+    y2 = y[:, th - 2 : 2 * th + 2]
+    k2 = k[:, th - 2 : 2 * th + 2]
+    a = _apply_k_gslab(y2, k2, th + 2)
+    out_ref[...] = a[:, 1 : th + 1]
+
+
+@functools.partial(jax.jit, static_argnames=("th", "interpret", "vmem_mb"))
+def ipc_fwd_cube_blocked(cube, kernel, gain=None, th=32, interpret=False,
+                         vmem_mb=128):
+    """Forward IPC (``ops.ipc.ipc_fwd``) as one fused Pallas pass.
+
+    The XLA stencil materializes an intermediate per shifted tap
+    (9 full-cube HBM round trips, ~19 ms for a 6-group 4088^2 batch on
+    v5e); this kernel streams the cube and the 9 kernel planes once
+    per halo window.  Used by the sim's IL forward model
+    (reference ``ipc_linearity.IL.apply:481-483``).
+    """
+    ngrp, na, _ = cube.shape
+    y = cube if gain is None else cube * gain
+
+    rows_out = ((na + th - 1) // th) * th
+    width = ((na + 4 + 127) // 128) * 128
+    n_tiles = rows_out // th
+    rows_in = (n_tiles + 2) * th
+
+    yp = jnp.zeros((ngrp, rows_in, width), dtype=jnp.float32)
+    yp = yp.at[:, th : th + na, 2 : 2 + na].set(y)
+    kp = jnp.zeros((9, rows_in, width), dtype=jnp.float32)
+    kp = kp.at[:, th : th + na, 2 : 2 + na].set(kernel.reshape(9, na, na))
+
+    yspec = [
+        pl.BlockSpec((ngrp, th, width), (lambda i, d=d: (0, i + d, 0)),
+                     memory_space=pltpu.VMEM)
+        for d in (0, 1, 2)
+    ]
+    kspec = [
+        pl.BlockSpec((9, th, width), (lambda i, d=d: (0, i + d, 0)),
+                     memory_space=pltpu.VMEM)
+        for d in (0, 1, 2)
+    ]
+    out = pl.pallas_call(
+        functools.partial(_ipc_fwd_kernel_blocked, th=th),
+        grid=(n_tiles,),
+        in_specs=yspec + kspec,
+        out_specs=pl.BlockSpec(
+            (ngrp, th, width), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((ngrp, rows_out, width), jnp.float32),
+        compiler_params=(
+            None if interpret
+            else pltpu.CompilerParams(vmem_limit_bytes=vmem_mb * 1024 * 1024)
+        ),
+        interpret=interpret,
+    )(yp, yp, yp, kp, kp, kp)
+
+    res = out[:, :na, 2 : 2 + na]
+    if gain is not None:
+        res = res / gain
+    return res
+
+
 def correct_cube_fused(data, kernel, gain=None, nborder=None, th=8,
                        interpret=False):
     """Drop-in fused replacement for ``ops.ipc.correct_cube`` (order 2).

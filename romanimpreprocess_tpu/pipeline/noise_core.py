@@ -505,7 +505,8 @@ def make_staged_exposure_runner(prep, pack, layers, config=None):
     read_pattern = m.read_pattern
     cfg = prep["cfg"]
     simcore = sim_to_l1._l1_core_factory(
-        read_pattern, m.frame_time, False, cfg["has_ipc"], True
+        read_pattern, m.frame_time, False, cfg["has_ipc"], True,
+        ipc_pallas=cfg.get("ipc_pallas", False),
     )
     fillcore_active = sim_to_l1._fill_core_factory(
         tuple(len(g) for g in read_pattern), nside, cw, nb, True,
@@ -595,7 +596,8 @@ def make_full_exposure_core(prep, pack, layers, config=None):
     noise_run = make_exposure_noise_core(prep, pack, layers, config,
                                          jit=False)
     simcore = sim_to_l1._l1_core_factory(
-        read_pattern, frame_time, False, cfg["has_ipc"], True
+        read_pattern, frame_time, False, cfg["has_ipc"], True,
+        ipc_pallas=cfg.get("ipc_pallas", False),
     )
     do_amp33 = cfg["use_amp33"]
     fillcore = sim_to_l1._fill_core_factory(

@@ -36,7 +36,7 @@ from .. import pars
 from ..config import load_config, reads_to_pattern
 from ..dqflags import group as gdq
 from ..io import asdf_lite, calfiles, fits_lite
-from ..ops import ipc, linearity, pink, ramp, rand, wcsutils
+from ..ops import ipc, ipc_pallas, linearity, pink, ramp, rand, wcsutils
 from ..utils import skymodel
 from .. import __version__
 
@@ -69,11 +69,13 @@ class IL:
     Holds device arrays; ``apply`` runs jitted.
     """
 
-    def __init__(self, lin, gain, ipc_kernel=None, start_e=0.0):
+    def __init__(self, lin, gain, ipc_kernel=None, start_e=0.0,
+                 ipc_pallas=False):
         self.lin = lin  # LinearityData (full frame)
         self.gain = gain  # (ny, nx) full frame
         self.ipc_kernel = ipc_kernel  # (3, 3, na, na) or None
         self.start_e = start_e  # scalar or (na, na) electrons
+        self.ipc_pallas = ipc_pallas  # fused Pallas forward stencil
 
     def apply(self, counts_e):
         """Electrons (active region) -> raw DN (active region).
@@ -85,7 +87,10 @@ class IL:
         act = slice(nb, ny - nb) if nb else slice(None)
         x = counts_e + self.start_e
         if self.ipc_kernel is not None:
-            x = ipc.ipc_fwd(x, self.ipc_kernel)
+            if self.ipc_pallas and x.ndim == 3:
+                x = ipc_pallas.ipc_fwd_cube_blocked(x, self.ipc_kernel)
+            else:
+                x = ipc.ipc_fwd(x, self.ipc_kernel)
         lin_act = linearity.LinearityData(
             self.lin.coefs[:, act, act], self.lin.smin[act, act],
             self.lin.smax[act, act], self.lin.sref[act, act],
@@ -124,8 +129,6 @@ def _accumulate_resultants(key, lam_per_read, read_pattern, crparam):
 
     do_cr = crparam is not None
     k_poi, k_hit, k_q, k_dir, k_fr = jax.random.split(key, 5)
-
-    incs = rand.poisson(k_poi, lam_per_read, shape=(nreads, na, na))
 
     crh = jnp.zeros((na, na), jnp.int32)
     if do_cr:
@@ -177,9 +180,21 @@ def _accumulate_resultants(key, lam_per_read, read_pattern, crparam):
         ev_y = jnp.clip(ev_y, 0, na - 1)
         ev_x = jnp.clip(ev_x, 0, na - 1)
 
-    res = jnp.einsum(
-        "jr,ryx->jyx", T_d, incs, preferred_element_type=jnp.float32
-    )
+    # draw-and-contract per read chunk: the (nreads, na, na) increment
+    # cube (~1 GB at 4096^2) never materializes — each chunk's Poisson
+    # draw (shared pmf/PTRS constants across its frames) feeds its T
+    # columns' partial MXU contraction and dies in-program
+    per = max(1, int(rand.CHUNK_ELEMS // (2 * na * na)))
+    res = jnp.zeros((ngrp, na, na), jnp.float32)
+    for i, start in enumerate(range(0, nreads, per)):
+        rc = min(per, nreads - start)
+        incs_c = rand.poisson(
+            jax.random.fold_in(k_poi, i), lam_per_read, shape=(rc, na, na)
+        )
+        res = res + jnp.einsum(
+            "jr,ryx->jyx", T_d[:, start : start + rc], incs_c,
+            preferred_element_type=jnp.float32,
+        )
     if do_cr:
         # deposit CRs in the RESULTANT domain: a hit at read r adds q
         # to every cumsum at reads >= r, so its per-resultant weight is
@@ -187,8 +202,12 @@ def _accumulate_resultants(key, lam_per_read, read_pattern, crparam):
         # keeps the Poisson cube (nreads planes, ~1 GB at 4096^2) out
         # of the scatter entirely — the scatter target shrinks to the
         # (ngrp, na, na) output and the event count is unchanged.
+        # Flat per-event rows beat a (ngrp+1, 3, 3) windowed-patch
+        # scatter ~2-8x on v5e (the unaligned lane-dim window lowers
+        # badly); the measured cost of the two flat scatters alone is
+        # ~3.5 ms at 4096^2 / 21k events.
         # w[j, e] = T[j, r_e] via a one-hot matmul (the event list is
-        # ~18k rows; a gather would serialize on TPU).
+        # ~21k rows; a gather would serialize on TPU).
         onehot_r = (
             ev_r[:, None] == jnp.arange(nreads, dtype=ev_r.dtype)[None]
         ).astype(jnp.float32)
@@ -204,12 +223,13 @@ def _accumulate_resultants(key, lam_per_read, read_pattern, crparam):
 _SIM_CORE_CACHE = {}
 
 
-def _l1_core_factory(read_pattern, ft, has_biascorr, has_ipc, do_cr):
+def _l1_core_factory(read_pattern, ft, has_biascorr, has_ipc, do_cr,
+                     ipc_pallas=False):
     """Cached jitted L1-synthesis core (arrays passed as arguments —
     closing over full-frame constants breaks the axon remote compile,
     and eager dispatch is unsupported on that backend)."""
     key_t = (tuple(tuple(g) for g in read_pattern), ft, has_biascorr,
-             has_ipc, do_cr)
+             has_ipc, do_cr, ipc_pallas)
     if key_t in _SIM_CORE_CACHE:
         return _SIM_CORE_CACHE[key_t]
 
@@ -237,7 +257,8 @@ def _l1_core_factory(read_pattern, ft, has_biascorr, has_ipc, do_cr):
             arrs["lin_sref"], arrs["lin_dq"],
         )
         il = IL(lin, arrs["gain"],
-                arrs["ipc_kernel"] if has_ipc else None, start_e=reset_e)
+                arrs["ipc_kernel"] if has_ipc else None, start_e=reset_e,
+                ipc_pallas=ipc_pallas)
 
         lam_per_frame = jnp.clip(rate_e * ft, 0.0, None)
         res_e, crhits = _accumulate_resultants(
@@ -270,7 +291,7 @@ def _l1_core_factory(read_pattern, ft, has_biascorr, has_ipc, do_cr):
 
 
 def make_l1_fullcal(key, counts_rate_e, read_pattern, pack, frame_time=None,
-                    crparam=None, persistence=None):
+                    crparam=None, persistence=None, ipc_pallas=False):
     """Counts rate (e/s, active region) -> L1 resultants in raw DN.
 
     Mirrors reference ``make_l1_fullcal`` (``sim_to_isim.py:163-262``):
@@ -321,6 +342,7 @@ def make_l1_fullcal(key, counts_rate_e, read_pattern, pack, frame_time=None,
     core = _l1_core_factory(
         read_pattern, float(ft), pack.biascorr is not None,
         pack.ipc_kernel is not None, crparam is not None,
+        ipc_pallas=ipc_pallas,
     )
     return core(key, jnp.asarray(counts_rate_e, jnp.float32), arrs)
 
@@ -559,6 +581,9 @@ class Image2D:
         resultants, l1dq = make_l1_fullcal(
             k_l1, jnp.asarray(rate_e, jnp.float32), use_read_pattern, pack,
             frame_time=ft, crparam={}, persistence=persistence,
+            ipc_pallas=(
+                str(config.get("IPC_BACKEND", "xla")).lower() == "pallas"
+            ),
         )
 
         no_amp33 = bool(caldir.get("NO_AMP33", False))

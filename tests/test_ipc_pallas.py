@@ -128,3 +128,25 @@ def test_block_nanmedian_fused_bit_identical():
                 arr[py : py + N * ky, px : px + N * kx]
                 .reshape(N, ky, N, kx), axis=(1, 3))
         assert ((oracle == got) | (np.isnan(oracle) & np.isnan(got))).all()
+
+
+@pytest.mark.parametrize("na,th", [(96, 16), (100, 16), (64, 8)])
+def test_pallas_fwd_matches_xla(na, th):
+    """The single-application forward kernel (the sim IL model's hot
+    stencil, reference ``ipc_linearity.IL.apply:481-483``) matches the
+    XLA ``ipc_fwd`` with and without gain conjugation."""
+    cube, K = _mk(3, na)
+    want = np.array(ipc.ipc_fwd(cube, K))
+    got = np.array(
+        ipc_pallas.ipc_fwd_cube_blocked(cube, K, th=th, interpret=True)
+    )
+    assert np.allclose(want, got, rtol=1e-6, atol=1e-3), (
+        np.abs(want - got).max()
+    )
+    g = jnp.asarray(1.4 + 0.2 * rng.uniform(size=(na, na)).astype(np.float32))
+    want = np.array(ipc.ipc_fwd(cube, K, gain=g))
+    got = np.array(
+        ipc_pallas.ipc_fwd_cube_blocked(cube, K, gain=g, th=th,
+                                        interpret=True)
+    )
+    assert np.allclose(want, got, rtol=1e-6, atol=1e-3)

@@ -172,7 +172,9 @@ def main():
         return rn[0, 0, 0]
 
     # 5. full L1 core
-    core = sim_to_l1._l1_core_factory(rp, ft, False, True, True)
+    core = sim_to_l1._l1_core_factory(
+        rp, ft, False, True, True,
+        ipc_pallas=jax.default_backend() != "cpu")
 
     def st_full(k, a):
         res, dq = core(k, a["rate"], a)
