@@ -95,20 +95,15 @@ def resample_traced(key, e_exp, gain_d, endslice_d, read_pattern,
             T[j, : r + 1] += 1.0 / len(grp)
     T_d = jnp.asarray(T, jnp.float32)
 
-    # draw-and-contract per read chunk (same shape pattern as the sim
-    # accumulator): the (nreads, n, n) delta cube never materializes
-    per = max(1, int(rand.CHUNK_ELEMS // (2 * n * n)))
-    dres = jnp.zeros((ngrp, n, n), jnp.float32)
-    for i, start in enumerate(range(0, nreads, per)):
-        rc = min(per, nreads - start)
-        incs_c = rand.poisson(
-            jax.random.fold_in(key, i), e_exp, shape=(rc, n, n)
-        )
-        delta_c = (incs_c - e_exp[None]) / gain_d[None]
-        dres = dres + jnp.einsum(
-            "jr,ryx->jyx", T_d[:, start : start + rc], delta_c,
-            preferred_element_type=jnp.float32,
-        )
+    # one (nreads, n, n) draw + one MXU contraction — a single
+    # rand.poisson call shares the pmf/PTRS constants across all reads
+    # (per-chunk calls recompute them and measured 2x slower; see
+    # sim_to_l1._accumulate_resultants)
+    incs = rand.poisson(key, e_exp, shape=(nreads, n, n))
+    delta = (incs - e_exp[None]) / gain_d[None]
+    dres = jnp.einsum(
+        "jr,ryx->jyx", T_d, delta, preferred_element_type=jnp.float32
+    )
     # per-pixel weight selection by endslice (select-chain, no gather)
     out = jnp.zeros((n, n), jnp.float32)
     for es in range(ngrp):

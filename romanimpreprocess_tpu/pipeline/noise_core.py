@@ -109,7 +109,8 @@ def make_exposure_noise_core(prep, pack, layers, config=None, jit=True):
 
         kw, kf = jax.random.split(jax.random.fold_in(lkey, 0))
         white = (
-            jax.random.normal(kw, (ngrp, na, na))
+            jax.random.normal(kw, (ngrp, na, na), dtype=jnp.bfloat16
+                              ).astype(jnp.float32)
             * arrs["read_sigma"][act, act][None]
             / jnp.sqrt(jnp.asarray(nvec))[:, None, None]
         )
@@ -275,8 +276,11 @@ def _staged_layer_machinery(prep, pack, config):
         sitting in HBM between two dispatches)."""
         kw, kf = jax.random.split(key)
         src = src_u16.astype(jnp.float32)
+        # bf16 normals: see the sim core's read-noise note (the white
+        # perturbation is rounded back to integer DN below)
         white = (
-            jax.random.normal(kw, (ngrp, na, na))
+            jax.random.normal(kw, (ngrp, na, na), dtype=jnp.bfloat16
+                              ).astype(jnp.float32)
             * read_sigma[act, act][None]
             / jnp.sqrt(jnp.asarray(nvec))[:, None, None]
         )

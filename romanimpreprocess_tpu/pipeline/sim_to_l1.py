@@ -180,21 +180,15 @@ def _accumulate_resultants(key, lam_per_read, read_pattern, crparam):
         ev_y = jnp.clip(ev_y, 0, na - 1)
         ev_x = jnp.clip(ev_x, 0, na - 1)
 
-    # draw-and-contract per read chunk: the (nreads, na, na) increment
-    # cube (~1 GB at 4096^2) never materializes — each chunk's Poisson
-    # draw (shared pmf/PTRS constants across its frames) feeds its T
-    # columns' partial MXU contraction and dies in-program
-    per = max(1, int(rand.CHUNK_ELEMS // (2 * na * na)))
-    res = jnp.zeros((ngrp, na, na), jnp.float32)
-    for i, start in enumerate(range(0, nreads, per)):
-        rc = min(per, nreads - start)
-        incs_c = rand.poisson(
-            jax.random.fold_in(k_poi, i), lam_per_read, shape=(rc, na, na)
-        )
-        res = res + jnp.einsum(
-            "jr,ryx->jyx", T_d[:, start : start + rc], incs_c,
-            preferred_element_type=jnp.float32,
-        )
+    # one (nreads, na, na) draw + one MXU contraction: a single
+    # rand.poisson call shares the lam-dependent pmf/PTRS constants
+    # across ALL reads (the rate plane is 2-D); splitting the draw into
+    # per-chunk calls recomputes them per chunk and measured 2x slower
+    # at 4096^2 despite the smaller live set
+    incs = rand.poisson(k_poi, lam_per_read, shape=(nreads, na, na))
+    res = jnp.einsum(
+        "jr,ryx->jyx", T_d, incs, preferred_element_type=jnp.float32
+    )
     if do_cr:
         # deposit CRs in the RESULTANT domain: a hit at read r adds q
         # to every cumsum at reads >= r, so its per-resultant weight is
@@ -269,9 +263,13 @@ def _l1_core_factory(read_pattern, ft, has_biascorr, has_ipc, do_cr,
         # IL forward model, batched over resultants (electrons -> raw DN)
         resultants = il.apply(res_e)
 
-        # read noise / sqrt(N_j) (add_read_noise_to_resultants)
+        # read noise / sqrt(N_j) (add_read_noise_to_resultants);
+        # bf16 normals halve the erfinv-dominated draw cost, quantizing
+        # the NOISE value at ~2^-8 relative (~0.02 DN for sigma~6 DN,
+        # on resultants rounded to integer DN right after)
         rn = (
-            jax.random.normal(k_read, (ngrp, na, na))
+            jax.random.normal(k_read, (ngrp, na, na), dtype=jnp.bfloat16
+                              ).astype(jnp.float32)
             * arrs["read_sigma_act"][None]
             / jnp.sqrt(jnp.asarray(nvec))[:, None, None]
         )

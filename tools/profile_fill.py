@@ -62,20 +62,30 @@ def build(nside):
 
     @jax.jit
     def white(key):
-        w = jax.random.normal(key, (ntr, 2, length), dtype=jnp.float32)
+        w = jax.random.normal(key, (ntr, 2, length), dtype=jnp.bfloat16)
         return cksum(key, w)
 
     n1 = 1 << ((length.bit_length() - 1) // 2)
     n2 = length // n1
 
     @jax.jit
-    def fft(key):
-        # constant spectrum (no RNG) through the two-stage MXU path
+    def spec(key):
+        # white draw + amplitude shaping only (no transform)
+        w = jax.random.normal(key, (ntr, 2, length), dtype=jnp.bfloat16)
         k_idx = jnp.arange(length, dtype=jnp.float32)
         k_fold = jnp.minimum(k_idx, length - k_idx)
-        amp = (1.0e-99 + k_fold) ** (-0.5)
-        spec = jnp.broadcast_to(amp, (ntr, length))
-        xr, xi = pink._fft_ct(spec, spec, n1, n2, both=True)
+        amp = ((1.0e-99 + k_fold) ** (-0.5)).astype(jnp.bfloat16)
+        return cksum(key, w[:, 0] * amp + w[:, 1] * amp)
+
+    @jax.jit
+    def fft(key):
+        # production-matched transform: RNG spectrum, half output
+        w = jax.random.normal(key, (ntr, 2, length), dtype=jnp.bfloat16)
+        k_idx = jnp.arange(length, dtype=jnp.float32)
+        k_fold = jnp.minimum(k_idx, length - k_idx)
+        amp = ((1.0e-99 + k_fold) ** (-0.5)).astype(jnp.bfloat16)
+        xr, xi = pink._fft_ct(w[:, 0] * amp, w[:, 1] * amp, n1, n2,
+                              both=True, half=True)
         return cksum(key, xr + xi)
 
     @jax.jit
@@ -102,6 +112,7 @@ def build(nside):
 
     return {
         "white": white,
+        "spec": spec,
         "fft": fft,
         "pink": pinkf,
         "noband": fillfn(False),

@@ -150,16 +150,7 @@ def main():
         for r_ in grp:
             T[j, : r_ + 1] += 1.0 / len(grp)
     T[:, 0] = 0.0
-    arrs["incs"] = np.ones((nreads, na, na), np.float32)
     arrs["T"] = T
-
-    def st_einsum(k, a):
-        incs = a["incs"] + jax.random.uniform(k, (1, 1, 1))
-        res = jnp.einsum(
-            "jr,ryx->jyx", a["T"], incs,
-            preferred_element_type=jnp.float32,
-        )
-        return res[0, 0, 0]
 
     # 4. read-noise draw alone
     def st_readnoise(k, a):
@@ -183,7 +174,6 @@ def main():
     report("poisson_draws", st_poisson)
     report("accumulate(+CR,T)", st_accum)
     report("accumulate(noCR)", st_accum_nocr)
-    report("einsum_T_only", st_einsum)
     report("il_forward(full)", st_il)
     report("invlinearity_only", st_invlin)
     report("ipc_fwd_only", st_ipcfwd)
