@@ -66,6 +66,7 @@ def make_exposure_noise_core(prep, pack, layers, config=None, jit=True):
     nvec = np.asarray([len(g) for g in read_pattern], np.float32)
 
     core = l1_to_l2.make_core(plan, cfg, geom)
+    med_p = bool(cfg.get("med_pallas", False))
 
     # static per-endslice weight vectors + tilde-nus
     weightvecs, start = weightvec_table(
@@ -167,7 +168,8 @@ def make_exposure_noise_core(prep, pack, layers, config=None, jit=True):
         withsky = base["slope_withsky"][act, act]
         if "b" in flags:
             sky_order = int("0" + layer_subscript(flags.upper(), "B"))
-            _, skylevel = sky.medfit(withsky, order=sky_order)
+            _, skylevel = sky.medfit(withsky, order=sky_order,
+                                     pallas=med_p)
         else:
             skylevel = withsky
         if "r" not in flags:
@@ -196,7 +198,8 @@ def make_exposure_noise_core(prep, pack, layers, config=None, jit=True):
                 diff = diff + _layer_P(lkey, cmd, base, endslice_c, gain_a)
             if "S" in cmd:
                 sky_order = int("0" + layer_subscript(cmd, "S"))
-                _, model = sky.medfit(diff, order=sky_order)
+                _, model = sky.medfit(diff, order=sky_order,
+                                      pallas=med_p)
                 diff = diff - model
             diffs.append(diff)
         return jnp.stack(diffs), base
@@ -224,6 +227,7 @@ def _staged_layer_machinery(prep, pack, config):
     m.geom, m.na, m.act, m.ngrp = geom, na, act, ngrp
     m.read_pattern, m.frame_time = read_pattern, frame_time
 
+    med_p = bool(cfg.get("med_pallas", False))
     m.core = l1_to_l2._get_core(plan, cfg, geom)
     # noise-layer 'R' re-entries consume ONLY the slope — a restricted-
     # output core lets XLA dead-code-eliminate the error/variance maps,
@@ -317,7 +321,7 @@ def _staged_layer_machinery(prep, pack, config):
         if sky_order is not None:
             # trailing 'S' of a pure-'R' layer fused into the same
             # program (one dispatch, no extra diff materialization)
-            _, model = sky.medfit(diff, order=sky_order)
+            _, model = sky.medfit(diff, order=sky_order, pallas=med_p)
             diff = diff - model
         return diff
 
@@ -352,7 +356,7 @@ def _staged_layer_machinery(prep, pack, config):
         endslice_c = jnp.where(es > 0, es, ngrp - 1)
         w = withsky[act, act]
         if sky_order is not None:
-            _, skylevel = sky.medfit(w, order=sky_order)
+            _, skylevel = sky.medfit(w, order=sky_order, pallas=med_p)
         else:
             skylevel = w
         if not resample:
@@ -365,13 +369,14 @@ def _staged_layer_machinery(prep, pack, config):
             )
         if final_sky_order is not None:
             # trailing 'S' of a pure-'P' layer fused into this program
-            _, model = sky.medfit(diff, order=final_sky_order)
+            _, model = sky.medfit(diff, order=final_sky_order,
+                                  pallas=med_p)
             diff = diff - model
         return diff
 
     @functools.partial(jax.jit, static_argnames=("sky_order",))
     def s_layer(diff, sky_order):
-        _, model = sky.medfit(diff, order=sky_order)
+        _, model = sky.medfit(diff, order=sky_order, pallas=med_p)
         return diff - model
 
     @jax.jit

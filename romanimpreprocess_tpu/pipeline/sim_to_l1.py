@@ -196,12 +196,13 @@ def _accumulate_resultants(key, lam_per_read, read_pattern, crparam):
         # keeps the Poisson cube (nreads planes, ~1 GB at 4096^2) out
         # of the scatter entirely — the scatter target shrinks to the
         # (ngrp, na, na) output and the event count is unchanged.
-        # Flat per-event rows beat a (ngrp+1, 3, 3) windowed-patch
-        # scatter ~2-8x on v5e (the unaligned lane-dim window lowers
-        # badly); the measured cost of the two flat scatters alone is
-        # ~3.5 ms at 4096^2 / 21k events.
+        # One single-plane scatter PER RESULTANT with scalar updates:
+        # a combined scatter with (ngrp,)-column updates touches ngrp
+        # HBM locations ~67 MB apart per event row and measured ~21 ms
+        # at 4096^2/21k events on v5e; per-plane scalar scatters are
+        # ~3 ms total (windowed (ngrp,3,3)-patch rows are worst, ~34).
         # w[j, e] = T[j, r_e] via a one-hot matmul (the event list is
-        # ~21k rows; a gather would serialize on TPU).
+        # ~21k rows; a gather would also serialize on TPU).
         onehot_r = (
             ev_r[:, None] == jnp.arange(nreads, dtype=ev_r.dtype)[None]
         ).astype(jnp.float32)
@@ -209,7 +210,10 @@ def _accumulate_resultants(key, lam_per_read, read_pattern, crparam):
             T_d, onehot_r, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (ngrp, nev)
-        res = res.at[:, ev_y, ev_x].add(w * (ev_q * keep)[None])
+        wq = w * (ev_q * keep)[None]
+        res = jnp.stack(
+            [res[j].at[ev_y, ev_x].add(wq[j]) for j in range(ngrp)]
+        )
         crh = crh.at[ev_y, ev_x].add(keep.astype(jnp.int32))
     return res, crh
 
