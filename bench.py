@@ -114,6 +114,7 @@ def _core_samples(jax, jnp, functools, benchlib, l1_to_l2, nside,
     arr, plan, cfg, geom = benchlib.core_bundle(nside=nside,
                                                 likelihood=likelihood)
     cfg = dict(cfg, ipc_pallas=True, lin_pallas=True, med_pallas=True)
+    del arr["ipc_kernel"]  # the Pallas core consumes the padded slab only
     core = l1_to_l2.make_core(plan, cfg, geom)
     arr = {k: jax.device_put(jnp.asarray(v)) for k, v in arr.items()}
 
@@ -165,12 +166,13 @@ def _bench_exposure(jax, jnp, functools, benchlib, nside):
         prep, pack, ["Rz4S2", "O", "PbrS2"]
     )
     # don't stage arrays the traced cores never read: the "data"
-    # placeholder (the synthesized L1 replaces it) and the zero
-    # biascorr/dark_dq (cfg has_biascorr/has_dark_dq are False) —
-    # ~0.6 GB of HBM at 4096^2
+    # placeholder (the synthesized L1 replaces it), the zero
+    # biascorr/dark_dq (cfg has_biascorr/has_dark_dq are False), and
+    # the raw IPC kernel (every Pallas stage consumes the pre-padded
+    # slab) — ~1.2 GB of HBM at 4096^2
     arr = {
         k: v for k, v in arr.items()
-        if k not in ("data", "biascorr", "dark_dq")
+        if k not in ("data", "biascorr", "dark_dq", "ipc_kernel")
     }
     arrs = {k: jax.device_put(jnp.asarray(v)) for k, v in arr.items()}
     fold = jax.jit(
@@ -205,7 +207,7 @@ def _bench_sim(jax, jnp, functools, benchlib, nside):
     """Time the jitted L1-synthesis core (Poisson/CR accumulation, IL
     forward model with the 24-iter bisection, read noise)."""
     from romanimpreprocess_tpu.io.calfiles import CalPack
-    from romanimpreprocess_tpu.ops import rand
+    from romanimpreprocess_tpu.ops import ipc_pallas, rand
     from romanimpreprocess_tpu.pipeline import sim_to_l1
 
     cal = benchlib.synth_cal_arrays(nside, benchlib.READ_PATTERN_DEFAULT)
@@ -238,7 +240,9 @@ def _bench_sim(jax, jnp, functools, benchlib, nside):
         "lin_smax": pack.lin_smax,
         "lin_sref": pack.lin_sref,
         "lin_dq": pack.lin_dq,
-        "ipc_kernel": pack.ipc_kernel,
+        "ipc_kernel_padded": ipc_pallas.kernel_planes_padded(
+            pack.ipc_kernel, th=32
+        ),
         "biascorr": np.zeros((ngrp, na, na), np.float32),
         "biascorr_t0": np.float32(0.0),
     }

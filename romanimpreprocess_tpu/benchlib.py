@@ -8,7 +8,8 @@ L1->L2 core consumes.
 
 import numpy as np
 
-from .ops import ramp
+from .ops import ipc_pallas, ramp
+from .pipeline import l1_to_l2
 
 READ_PATTERN_DEFAULT = [[0], [1, 2], [3, 4, 5], [6, 7, 8, 9, 10], [11, 12], [13]]
 
@@ -212,4 +213,13 @@ def core_bundle(nside=4096, read_pattern=None, seed=1000, frame_time=3.04,
         "area_factor": np.ones((nside, nside), np.float32),
         "dark_decay_signal": np.zeros(ngrp, np.float32),
     }
+    arr["dark_slope_ipc"], arr["flat_ipc"] = l1_to_l2.ipc_precal(
+        cal["flat"], cal["dark_slope"], cal["gain"], cal["ipc_kernel"],
+        nborder,
+    )
+    # pre-padded kernel slab for callers that flip ipc_pallas=True
+    # (bench.py, profile tools); unread on the XLA path
+    arr["ipc_kernel_padded"] = ipc_pallas.kernel_planes_padded(
+        cal["ipc_kernel"], th=32
+    )
     return arr, plan, cfg, (nside, nborder, cw)

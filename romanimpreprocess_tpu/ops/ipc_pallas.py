@@ -34,6 +34,61 @@ TAPS = [
 ]
 
 
+def _pad_geom(na, th):
+    """(rows_out, width, n_tiles, rows_in) of the padded slab layout."""
+    rows_out = ((na + th - 1) // th) * th
+    width = ((na + 4 + 127) // 128) * 128
+    n_tiles = rows_out // th
+    rows_in = (n_tiles + 2) * th
+    return rows_out, width, n_tiles, rows_in
+
+
+_PAD_CACHE = {}
+
+
+def kernel_planes_padded(kernel, th=32):
+    """Host-side pre-padded (9, rows_in, width) kernel-plane buffer.
+
+    The IPC kernel is calibration data — constant across exposures — but
+    the blocked Pallas kernels need it in the padded slab layout, and
+    building that inside the jitted calibration core costs a ~0.6 GB
+    materialization per dispatch.  Padding once per cal pack here (id-
+    keyed cache) and passing the result as the ``kernel`` argument of
+    :func:`ipc_rev2_cube_blocked` / :func:`ipc_fwd_cube_blocked` (both
+    accept the 3-D padded form when built with the same ``th``) removes
+    that per-exposure work.
+    """
+    na = kernel.shape[-1]
+    ck = (id(kernel), th)
+    if ck not in _PAD_CACHE:
+        _, width, _, rows_in = _pad_geom(na, th)
+        kp = np.zeros((9, rows_in, width), np.float32)
+        kp[:, th : th + na, 2 : 2 + na] = np.asarray(
+            kernel, np.float32
+        ).reshape(9, na, na)
+        if len(_PAD_CACHE) > 4:
+            _PAD_CACHE.clear()
+        _PAD_CACHE[ck] = (kp, kernel)  # strong ref guards the id key
+    return _PAD_CACHE[ck][0]
+
+
+def _kernel_padded_or_pad(kernel, na, th, width, rows_in):
+    """Accept either the raw (3, 3, na, na) kernel (padded here, inside
+    the jit) or a pre-padded (9, rows_in, width) buffer from
+    :func:`kernel_planes_padded` (validated against this call's slab
+    geometry, i.e. the same ``th``)."""
+    if kernel.ndim == 3:
+        if kernel.shape != (9, rows_in, width):
+            raise ValueError(
+                f"pre-padded kernel shape {kernel.shape} does not match "
+                f"slab geometry {(9, rows_in, width)} (built with a "
+                f"different th?)"
+            )
+        return kernel
+    kp = jnp.zeros((9, rows_in, width), dtype=jnp.float32)
+    return kp.at[:, th : th + na, 2 : 2 + na].set(kernel.reshape(9, na, na))
+
+
 def _shift_cols(arr, dx):
     """shifted[..., x] = arr[..., x - dx] (circular).
 
@@ -92,16 +147,12 @@ def ipc_rev2_cube_blocked(cube, kernel, gain=None, th=16, interpret=False,
     ngrp, na, _ = cube.shape
     y = cube if gain is None else cube * gain
 
-    rows_out = ((na + th - 1) // th) * th
-    width = ((na + 4 + 127) // 128) * 128
-    n_tiles = rows_out // th
+    rows_out, width, n_tiles, rows_in = _pad_geom(na, th)
 
     # th leading pad rows, science at [th, th+na), pad to (n_tiles+2)*th
-    rows_in = (n_tiles + 2) * th
     yp = jnp.zeros((ngrp, rows_in, width), dtype=jnp.float32)
     yp = yp.at[:, th : th + na, 2 : 2 + na].set(y)
-    kp = jnp.zeros((9, rows_in, width), dtype=jnp.float32)
-    kp = kp.at[:, th : th + na, 2 : 2 + na].set(kernel.reshape(9, na, na))
+    kp = _kernel_padded_or_pad(kernel, na, th, width, rows_in)
 
     yspec = [
         pl.BlockSpec((ngrp, th, width), (lambda i, d=d: (0, i + d, 0)),
@@ -159,15 +210,11 @@ def ipc_fwd_cube_blocked(cube, kernel, gain=None, th=32, interpret=False,
     ngrp, na, _ = cube.shape
     y = cube if gain is None else cube * gain
 
-    rows_out = ((na + th - 1) // th) * th
-    width = ((na + 4 + 127) // 128) * 128
-    n_tiles = rows_out // th
-    rows_in = (n_tiles + 2) * th
+    rows_out, width, n_tiles, rows_in = _pad_geom(na, th)
 
     yp = jnp.zeros((ngrp, rows_in, width), dtype=jnp.float32)
     yp = yp.at[:, th : th + na, 2 : 2 + na].set(y)
-    kp = jnp.zeros((9, rows_in, width), dtype=jnp.float32)
-    kp = kp.at[:, th : th + na, 2 : 2 + na].set(kernel.reshape(9, na, na))
+    kp = _kernel_padded_or_pad(kernel, na, th, width, rows_in)
 
     yspec = [
         pl.BlockSpec((ngrp, th, width), (lambda i, d=d: (0, i + d, 0)),

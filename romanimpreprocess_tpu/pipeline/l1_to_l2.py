@@ -220,38 +220,33 @@ def make_core(plan, cfg, geom):
 
         # ---- IPC deconvolution ----
         # The dark-slope and (clipped) flat deconvolutions needed later
-        # are data-independent single frames with the same kernel, so
-        # they ride along in the cube pass: per-frame gain conjugation
-        # is pre/post scaling, and the kernel runs once over ngrp+2
-        # frames instead of three separate invocations.
+        # are cal-only (exposure-independent) work: they arrive
+        # precomputed per cal pack (``ipc_precal``) instead of riding
+        # along in this per-exposure cube pass — two frames of every
+        # dispatch saved in production, where one cal set serves a
+        # whole campaign.
         dslope_ipc = None
         flat_ipc = None
         if has_ipc:
             gain_act = arr["gain"][nb:-nb, nb:-nb]
-            gain_flat = jnp.clip(gain_act, 0.1, None)
-            flat_clipped = jnp.clip(
-                arr["flat"][nb:-nb, nb:-nb], 0.1, 10.0
-            )
-            stacked = jnp.concatenate(
-                [
-                    data[:, nb:-nb, nb:-nb] * gain_act[None],
-                    (arr["dark_slope"][nb:-nb, nb:-nb] * gain_act)[None],
-                    (flat_clipped * gain_flat)[None],
-                ]
-            )
+            stacked = data[:, nb:-nb, nb:-nb] * gain_act[None]
             if cfg.get("ipc_pallas", False):
                 # th=32 measured fastest at full frame (10.7 vs 11.6 ms
-                # at th=16 standalone on v5e)
+                # at th=16 standalone on v5e); the pre-padded kernel
+                # planes (kernel_planes_padded, th=32) skip the ~0.6 GB
+                # per-dispatch slab build when the caller provides them
                 corr = ipc_pallas.ipc_rev2_cube_blocked(
-                    stacked, arr["ipc_kernel"], th=32, vmem_mb=128
+                    stacked,
+                    arr.get("ipc_kernel_padded", arr.get("ipc_kernel")),
+                    th=32, vmem_mb=128,
                 )
             else:
                 corr = ipc.ipc_rev(stacked, arr["ipc_kernel"])
             data = data.at[:, nb:-nb, nb:-nb].set(
-                corr[:ngrp] / gain_act[None]
+                corr / gain_act[None]
             )
-            dslope_ipc = corr[ngrp] / gain_act
-            flat_ipc = corr[ngrp + 1] / gain_flat
+            dslope_ipc = arr["dark_slope_ipc"]
+            flat_ipc = arr["flat_ipc"]
 
         # ---- ramp fit + jump detection ----
         dumo = chisq = None
@@ -358,6 +353,52 @@ def make_core(plan, cfg, geom):
 # --------------------------------------------------------------------------
 # Host driver
 # --------------------------------------------------------------------------
+
+_IPC_PRECAL_CACHE = {}
+
+
+def ipc_precal(flat, dark_slope, gain, ipc_kernel, nborder):
+    """IPC-deconvolved dark-slope and clipped-flat planes (numpy).
+
+    The calibration needs the dark-slope and flat frames pushed through
+    the same order-2 IPC inverse as the data cube (reference
+    ``subtract_dark_current`` IPC-corrects the dark ref first,
+    ``gen_cal_image.py:217-221``; ``get_flat`` deconvolves the flat,
+    ``flatutils.py:61-74``).  Both are exposure-INDEPENDENT, so they
+    are computed once per cal pack here (id-keyed cache) instead of
+    riding along in every per-exposure IPC dispatch.
+
+    Returns ``(dark_slope_ipc, flat_ipc)``, active-region (na, na)
+    float32.  Matches the in-core gain conjugation exactly: unclipped
+    gain for the dark slope, gain clipped to >= 0.1 for the flat.
+    """
+    nb = nborder
+    ck = (id(flat), id(dark_slope), id(gain), id(ipc_kernel), nb)
+    if ck not in _IPC_PRECAL_CACHE:
+        gain_act = np.asarray(gain[nb:-nb, nb:-nb], np.float32)
+        gain_flat = np.clip(gain_act, 0.1, None)
+        flat_clipped = np.clip(
+            np.asarray(flat[nb:-nb, nb:-nb], np.float32), 0.1, 10.0
+        )
+        dslope_act = np.asarray(dark_slope[nb:-nb, nb:-nb], np.float32)
+        stacked = np.stack(
+            [dslope_act * gain_act, flat_clipped * gain_flat]
+        )
+        corr = np.asarray(
+            jax.jit(ipc.ipc_rev)(
+                jnp.asarray(stacked), jnp.asarray(ipc_kernel)
+            )
+        )
+        if len(_IPC_PRECAL_CACHE) > 4:
+            _IPC_PRECAL_CACHE.clear()
+        # keep strong refs to the inputs so a GC'd array can't alias
+        # a stale id-keyed entry
+        _IPC_PRECAL_CACHE[ck] = (
+            (corr[0] / gain_act, corr[1] / gain_flat),
+            (flat, dark_slope, gain, ipc_kernel),
+        )
+    return _IPC_PRECAL_CACHE[ck][0]
+
 
 _CORE_CACHE = {}
 
@@ -650,6 +691,16 @@ def prepare_inputs(l1, config, pack, area_factor=None):
         "area_factor": area_factor,
         "dark_decay_signal": dd_signal,
     }
+    if cfg["has_ipc"]:
+        # cal-only IPC work precomputed once per cal pack (see
+        # ipc_precal) — the per-exposure core consumes the results
+        arr["dark_slope_ipc"], arr["flat_ipc"] = ipc_precal(
+            pack.flat, pack.dark_slope, pack.gain, pack.ipc_kernel, nb
+        )
+        if cfg["ipc_pallas"]:
+            arr["ipc_kernel_padded"] = ipc_pallas.kernel_planes_padded(
+                pack.ipc_kernel, th=32
+            )
 
     mylog.append("Saturation check complete\n")
     mylog.append("Linearity correction complete\n")

@@ -37,6 +37,7 @@ from ..config import load_config, reads_to_pattern
 from ..dqflags import group as gdq
 from ..io import asdf_lite, calfiles, fits_lite
 from ..ops import ipc, ipc_pallas, linearity, pink, ramp, rand, wcsutils
+from ..ops import ipc_pallas as ipc_pallas_mod  # the bool kwarg shadows it
 from ..utils import skymodel
 from .. import __version__
 
@@ -70,10 +71,13 @@ class IL:
     """
 
     def __init__(self, lin, gain, ipc_kernel=None, start_e=0.0,
-                 ipc_pallas=False):
+                 ipc_pallas=False, ipc_kernel_padded=None):
         self.lin = lin  # LinearityData (full frame)
         self.gain = gain  # (ny, nx) full frame
         self.ipc_kernel = ipc_kernel  # (3, 3, na, na) or None
+        # optional pre-padded (9, rows_in, width) slab
+        # (ipc_pallas.kernel_planes_padded) for the Pallas cube path
+        self.ipc_kernel_padded = ipc_kernel_padded
         self.start_e = start_e  # scalar or (na, na) electrons
         self.ipc_pallas = ipc_pallas  # fused Pallas forward stencil
 
@@ -86,9 +90,14 @@ class IL:
         ny = self.gain.shape[0]
         act = slice(nb, ny - nb) if nb else slice(None)
         x = counts_e + self.start_e
-        if self.ipc_kernel is not None:
+        if self.ipc_kernel is not None or self.ipc_kernel_padded is not None:
             if self.ipc_pallas and x.ndim == 3:
-                x = ipc_pallas.ipc_fwd_cube_blocked(x, self.ipc_kernel)
+                x = ipc_pallas.ipc_fwd_cube_blocked(
+                    x,
+                    self.ipc_kernel_padded
+                    if self.ipc_kernel_padded is not None
+                    else self.ipc_kernel,
+                )
             else:
                 x = ipc.ipc_fwd(x, self.ipc_kernel)
         lin_act = linearity.LinearityData(
@@ -254,9 +263,15 @@ def _l1_core_factory(read_pattern, ft, has_biascorr, has_ipc, do_cr,
             arrs["lin_coefs"], arrs["lin_smin"], arrs["lin_smax"],
             arrs["lin_sref"], arrs["lin_dq"],
         )
-        il = IL(lin, arrs["gain"],
-                arrs["ipc_kernel"] if has_ipc else None, start_e=reset_e,
-                ipc_pallas=ipc_pallas)
+        il = IL(
+            lin, arrs["gain"],
+            arrs.get("ipc_kernel") if has_ipc else None, start_e=reset_e,
+            ipc_pallas=ipc_pallas,
+            ipc_kernel_padded=(
+                arrs.get("ipc_kernel_padded")
+                if has_ipc and ipc_pallas else None
+            ),
+        )
 
         lam_per_frame = jnp.clip(rate_e * ft, 0.0, None)
         res_e, crhits = _accumulate_resultants(
@@ -341,6 +356,10 @@ def make_l1_fullcal(key, counts_rate_e, read_pattern, pack, frame_time=None,
         ),
         "biascorr_t0": np.float32(pack.biascorr_t0),
     }
+    if ipc_pallas and pack.ipc_kernel is not None:
+        arrs["ipc_kernel_padded"] = ipc_pallas_mod.kernel_planes_padded(
+            pack.ipc_kernel, th=32
+        )
     core = _l1_core_factory(
         read_pattern, float(ft), pack.biascorr is not None,
         pack.ipc_kernel is not None, crparam is not None,

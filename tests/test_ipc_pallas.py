@@ -150,3 +150,25 @@ def test_pallas_fwd_matches_xla(na, th):
                                         interpret=True)
     )
     assert np.allclose(want, got, rtol=1e-6, atol=1e-3)
+
+
+@pytest.mark.parametrize("na,th", [(96, 16), (100, 16)])
+def test_prepadded_kernel_matches_inline_pad(na, th):
+    """kernel_planes_padded + the 3-D kernel form of the blocked
+    kernels is bit-identical to the in-jit pad path (the pre-padded
+    slab is the production fast path; see l1_to_l2.make_core)."""
+    cube, K = _mk(2, na)
+    Kp = jnp.asarray(ipc_pallas.kernel_planes_padded(np.asarray(K), th=th))
+    for fn in (ipc_pallas.ipc_rev2_cube_blocked,
+               ipc_pallas.ipc_fwd_cube_blocked):
+        want = np.array(fn(cube, K, th=th, interpret=True))
+        got = np.array(fn(cube, Kp, th=th, interpret=True))
+        assert np.array_equal(got, want)
+
+
+def test_prepadded_kernel_th_mismatch_raises():
+    _, K = _mk(1, 96)
+    Kp = jnp.asarray(ipc_pallas.kernel_planes_padded(np.asarray(K), th=8))
+    cube, _ = _mk(1, 96)
+    with pytest.raises(ValueError, match="slab geometry"):
+        ipc_pallas.ipc_rev2_cube_blocked(cube, Kp, th=16, interpret=True)
