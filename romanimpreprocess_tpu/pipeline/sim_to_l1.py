@@ -475,11 +475,21 @@ def _fill_core_factory(nvec, nside, channelwidth, nborder, fill_in_banding,
             frames = frames.reshape(ngrp, per_grp, nside, channelwidth)
             common = frames[:, 0] * c_pink
             uniq = frames[:, 1 : 1 + nch] * u_pink  # (ngrp, nch, ns, cw)
-            band = uniq + common[:, None]
-            # odd channels are read in the reverse x direction
+            # odd channels are read in the reverse x direction.  Only
+            # the SHARED (common-mode) component's orientation is
+            # observable: each unique frame is i.i.d. stationary
+            # Gaussian noise, so reversing it is a distributional
+            # no-op.  Reversing the (ngrp, ns, cw) common frame and
+            # selecting per channel (instead of reversing the full
+            # (ngrp, nch, ns, cw) band) keeps the inter-channel
+            # correlation structure of the reference
+            # (``sim_to_isim.py:298-303``) while saving a ~0.4 GB
+            # reversed-band materialization per fill at 4096^2.
             flip = jnp.arange(nch) % 2 == 1
-            band = jnp.where(
-                flip[None, :, None, None], band[:, :, :, ::-1], band
+            band = uniq + jnp.where(
+                flip[None, :, None, None],
+                common[:, None, :, ::-1],
+                common[:, None],
             )
             band = band / jnp.sqrt(jnp.asarray(nvec_np))[:, None, None, None]
             band = band.transpose(0, 2, 1, 3).reshape(ngrp, nside, nside)

@@ -489,3 +489,46 @@ def test_pink_mxu_full_length_spectral_gate():
     top = ps[:, f > 0.25].mean()
     bot = ps[:, (f > 1e-4) & (f < 1e-3)].mean()
     assert top < 0.01 * bot
+
+
+def test_fill_banding_channel_structure():
+    """Inter-channel 1/f banding correlation of the fill core: every
+    channel pair shares the common-mode pink frame at c^2/(c^2+u^2) of
+    the per-channel variance, with the common component lane-REVERSED
+    in odd (reverse-readout) channels (reference
+    ``sim_to_isim.py:298-303``).  Guards the flip-common-only
+    assembly: reversing only the shared frame (the unique frames are
+    i.i.d. stationary noise, orientation-free) must preserve exactly
+    this structure."""
+    from romanimpreprocess_tpu.pipeline import sim_to_l1
+
+    nvec = (1, 2, 2)
+    nside, cw, nb = 64, 8, 4
+    c_pink, u_pink = 5.0, 2.0
+    core = sim_to_l1._fill_core_factory(
+        nvec, nside, cw, nb, True, False, c_pink, u_pink, 0.0, 0.0,
+        im_is_active=True,
+    )
+    na = nside - 2 * nb
+    arrs = {
+        "im": np.full((3, na, na), 1000.0, np.float32),
+        "read_sigma": np.zeros((nside, nside), np.float32),
+        "resetnoise": np.zeros((nside, nside), np.float32),
+        "dark_cube": np.full((3, nside, nside), 1000.0, np.float32),
+        "amp33_med": np.zeros((nside, cw), np.float32),
+        "amp33_std": np.zeros((nside, cw), np.float32),
+    }
+    c01, c02, v = [], [], []
+    for s in range(120):
+        im, _ = core(jax.random.PRNGKey(s), arrs)
+        f = np.asarray(im[0], np.float64) - 1000.0  # group 0: /sqrt(1)
+        ch = f.reshape(nside, nside // cw, cw)
+        # ch0 vs lane-reversed odd neighbor, and vs same-parity ch2
+        c01.append(np.mean(ch[:, 0, :] * ch[:, 1, ::-1]))
+        c02.append(np.mean(ch[:, 0, :] * ch[:, 2, :]))
+        v.append(np.mean(ch[:, 0, :] ** 2))
+    share = c_pink**2 / (c_pink**2 + u_pink**2)
+    r01 = np.mean(c01) / np.mean(v)
+    r02 = np.mean(c02) / np.mean(v)
+    assert abs(r01 - share) < 0.05, (r01, share)
+    assert abs(r02 - share) < 0.05, (r02, share)

@@ -65,7 +65,7 @@ def build(nside):
         )
     )
 
-    def prefix(key, arrs, depth):
+    def prefix(key, arrs, depth, rsub=None):
         ks = m.split_keys(key)
         res, _dq = simcore(ks[0], arrs["rate"], arrs)
         if depth == 0:
@@ -90,6 +90,48 @@ def build(nside):
         base = m.core_base(arrs0)
         if depth == 2:
             return cksum(key, base["slope"])
+        if rsub is not None:
+            # sub-stage attribution inside the first 'R' layer
+            # (mirrors _run_layers' dark-reference variant)
+            from romanimpreprocess_tpu.config import layer_subscript
+
+            cmd = LAYERS[0]
+            flags = layer_subscript(cmd, "R")
+            lkey = m.fold(ks[2], 0)
+            if "a" in flags:
+                src, orig = im_u16, base["slope"]
+            else:
+                # dark-reference source (cached, amortized as in
+                # production where one cal pack serves many exposures)
+                ck = id(arrs0["dark_cube"])
+                if ck not in m._dark_ref_cache:
+                    data_ref = m.dark_as_u16(arrs0["dark_cube"])
+                    ref_out = m.core_r(dict(arrs0, data=data_ref))
+                    m._dark_ref_cache[ck] = (data_ref, ref_out["slope"])
+                src, orig = m._dark_ref_cache[ck]
+            new_u16, _a33 = m.perturb_fill(
+                m.fold(lkey, 0), src, arrs0["read_sigma"],
+                arrs0["fill_resetnoise"], arrs0["dark_cube"],
+                arrs0["amp33_med"], arrs0["fill_amp33_std"],
+            )
+            if rsub == "fill":
+                return cksum(key, new_u16)
+            arrs_r = dict(arrs0, data=new_u16)
+            if m.do_amp33:
+                arrs_r["amp33"] = m.to_f32(_a33)
+            new = m.core_r(arrs_r)["slope"]
+            if rsub == "cal":
+                return cksum(key, new)
+            zc = (
+                float(layer_subscript(flags.upper(), "Z"))
+                if "z" in flags else None
+            )
+            s_ord = (
+                int("0" + layer_subscript(cmd, "S")) if "S" in cmd
+                else None
+            )
+            diff = m.diff_zclip(new, orig, zc, s_ord)
+            return cksum(key, diff)
         diffs = _run_layers(m, LAYERS[: depth - 2], ks[2], arrs0, base,
                             im_u16)
         if depth < 6:
@@ -125,7 +167,21 @@ def timed(fn, n_lo=1, n_hi=3):
 
 def main():
     nside = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    mode = sys.argv[2] if len(sys.argv) > 2 else "stages"
     m, arrs, prefix = build(nside)
+    if mode in ("rsub", "all"):
+        # attribute the first 'R' layer's internals on top of base_cal
+        prev = timed(functools.partial(
+            lambda key, d: prefix(key, arrs, d), d=2))
+        print(f"{'base':12s} cum {prev*1e3:8.1f} ms", flush=True)
+        for sub in ("fill", "cal", "zclip"):
+            dt = timed(functools.partial(
+                lambda key, s: prefix(key, arrs, 3, rsub=s), s=sub))
+            print(f"+R/{sub:9s} cum {dt*1e3:8.1f} ms   stage "
+                  f"{(dt - prev)*1e3:8.1f} ms", flush=True)
+            prev = dt
+        if mode == "rsub":
+            return
     names = ["sim", "+fill", "+base_cal", "+R", "+O", "+P", "+stack"]
     prev = 0.0
     for depth, name in enumerate(names):
