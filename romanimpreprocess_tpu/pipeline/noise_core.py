@@ -91,7 +91,7 @@ def make_exposure_noise_core(prep, pack, layers, config=None, jit=True):
         tuple(len(g) for g in read_pattern), nside, cw, nb, True,
         bool(do_amp33), float(pack.c_pink), float(pack.u_pink),
         float(pack.amp33_m_pink), float(pack.amp33_ru_pink),
-        im_is_active=False,
+        im_is_active=True,
     )
     def _layer_R(lkey, cmd, arrs, base, endslice_c):
         flags = layer_subscript(cmd, "R")
@@ -103,10 +103,10 @@ def make_exposure_noise_core(prep, pack, layers, config=None, jit=True):
             )
             ref_out = core(dict(arrs, data=data_ref))
             orig = ref_out["slope"][act, act]
-            src = data_ref.astype(jnp.float32)
+            src = data_ref[:, act, act].astype(jnp.float32)
         else:
             orig = base["slope"][act, act]
-            src = arrs["data"].astype(jnp.float32)
+            src = arrs["data"][:, act, act].astype(jnp.float32)
 
         kw, kf = jax.random.split(jax.random.fold_in(lkey, 0))
         white = (
@@ -115,13 +115,12 @@ def make_exposure_noise_core(prep, pack, layers, config=None, jit=True):
             * arrs["read_sigma"][act, act][None]
             / jnp.sqrt(jnp.asarray(nvec))[:, None, None]
         )
-        src = src.at[:, act, act].set(
-            jnp.clip(jnp.round(src[:, act, act] + white), 0, 65535)
-        )
+        # active region only: the fill overwrites the border strips
+        im_act = jnp.clip(jnp.round(src + white), 0, 65535)
         im_u16, amp33_u16 = fillcore(
             kf,
             {
-                "im": src,
+                "im": im_act,
                 "read_sigma": arrs["read_sigma"],
                 "resetnoise": arrs["fill_resetnoise"],
                 "dark_cube": arrs["dark_cube"],
@@ -243,11 +242,11 @@ def _staged_layer_machinery(prep, pack, config):
         geom,
     )
     do_amp33 = m.do_amp33 = cfg["use_amp33"]
-    fillcore_full = sim_to_l1._fill_core_factory(
+    fillcore_act = sim_to_l1._fill_core_factory(
         tuple(len(g) for g in read_pattern), nside, cw, nb, True,
         bool(do_amp33), float(pack.c_pink), float(pack.u_pink),
         float(pack.amp33_m_pink), float(pack.amp33_ru_pink),
-        im_is_active=False,
+        im_is_active=True,
     )
 
     weightvecs, start = weightvec_table(
@@ -277,9 +276,12 @@ def _staged_layer_machinery(prep, pack, config):
                      amp33_med, amp33_std):
         """White read noise + full refdata/1-f/amp33 refill in ONE
         stage (the f32 intermediate dies inside the jit instead of
-        sitting in HBM between two dispatches)."""
+        sitting in HBM between two dispatches).  Only the ACTIVE
+        region of ``src_u16`` is read — the fill core overwrites the
+        reference border with fresh strip noise anyway, so the
+        full-frame f32 embed would be dead work."""
         kw, kf = jax.random.split(key)
-        src = src_u16.astype(jnp.float32)
+        src = src_u16[:, act, act].astype(jnp.float32)
         # bf16 normals: see the sim core's read-noise note (the white
         # perturbation is rounded back to integer DN below)
         white = (
@@ -288,13 +290,11 @@ def _staged_layer_machinery(prep, pack, config):
             * read_sigma[act, act][None]
             / jnp.sqrt(jnp.asarray(nvec))[:, None, None]
         )
-        src = src.at[:, act, act].set(
-            jnp.clip(jnp.round(src[:, act, act] + white), 0, 65535)
-        )
-        return fillcore_full(
+        im_act = jnp.clip(jnp.round(src + white), 0, 65535)
+        return fillcore_act(
             kf,
             {
-                "im": src,
+                "im": im_act,
                 "read_sigma": read_sigma,
                 "resetnoise": resetnoise,
                 "dark_cube": dark_cube,
