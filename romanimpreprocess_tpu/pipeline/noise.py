@@ -93,24 +93,39 @@ def resample_traced(key, e_exp, gain_d, endslice_d, read_pattern,
     for j, grp in enumerate(read_pattern):
         for r in grp:
             T[j, : r + 1] += 1.0 / len(grp)
-    T_d = jnp.asarray(T, jnp.float32)
+
+    # Fold the resultant contraction AND the per-endslice ramp-fit
+    # weights into ONE read-axis matrix: the per-pixel output is
+    #   out = sum_j wv[es][j] * sum_r T[j, r] * (inc_r - e)/g
+    #       = (sum_r M[es, r] * inc_r  -  (sum_r M[es, r]) * e) / g
+    # with M[es] = wv[es] @ T.  This removes the (nreads, n, n)
+    # delta pass (~2.3 GB of HBM traffic at 4096^2), the (ngrp, n, n)
+    # dres intermediate, and the ngrp separate tensordot passes over
+    # it — the draw feeds a single (ngrp, nreads) contraction.
+    M = np.zeros((ngrp, nreads), np.float64)
+    for es in range(ngrp):
+        if weightvecs[es] is not None:
+            M[es] = np.asarray(weightvecs[es], np.float64) @ T
+    M_d = jnp.asarray(M, jnp.float32)
+    Msum = jnp.asarray(M.sum(axis=1), jnp.float32)
 
     # one (nreads, n, n) draw + one MXU contraction — a single
     # rand.poisson call shares the pmf/PTRS constants across all reads
     # (per-chunk calls recompute them and measured 2x slower; see
     # sim_to_l1._accumulate_resultants)
     incs = rand.poisson(key, e_exp, shape=(nreads, n, n))
-    delta = (incs - e_exp[None]) / gain_d[None]
-    dres = jnp.einsum(
-        "jr,ryx->jyx", T_d, delta, preferred_element_type=jnp.float32
+    contrib = jnp.einsum(
+        "er,ryx->eyx", M_d, incs, preferred_element_type=jnp.float32
     )
-    # per-pixel weight selection by endslice (select-chain, no gather)
+    # per-pixel selection by endslice (select-chain, no gather)
     out = jnp.zeros((n, n), jnp.float32)
     for es in range(ngrp):
         if weightvecs[es] is None:
             continue
-        contrib = jnp.tensordot(jnp.asarray(weightvecs[es]), dres, axes=1)
-        out = out + jnp.where(endslice_d == es, contrib, 0.0)
+        out = out + jnp.where(
+            endslice_d == es, (contrib[es] - Msum[es] * e_exp) / gain_d,
+            0.0,
+        )
     return out
 
 

@@ -516,6 +516,7 @@ def make_staged_exposure_runner(prep, pack, layers, config=None):
     simcore = sim_to_l1._l1_core_factory(
         read_pattern, m.frame_time, False, cfg["has_ipc"], True,
         ipc_pallas=cfg.get("ipc_pallas", False),
+        contract=cfg.get("contract", "dot"),
     )
     fillcore_active = sim_to_l1._fill_core_factory(
         tuple(len(g) for g in read_pattern), nside, cw, nb, True,

@@ -36,7 +36,7 @@ from .. import pars
 from ..config import load_config, reads_to_pattern
 from ..dqflags import group as gdq
 from ..io import asdf_lite, calfiles, fits_lite
-from ..ops import ipc, ipc_pallas, linearity, pink, ramp, rand, wcsutils
+from ..ops import contract_pallas, ipc, ipc_pallas, linearity, pink, ramp, rand, wcsutils
 from ..ops import ipc_pallas as ipc_pallas_mod  # the bool kwarg shadows it
 from ..utils import skymodel
 from .. import __version__
@@ -109,13 +109,16 @@ class IL:
         return S
 
 
-def _accumulate_resultants(key, lam_per_read, read_pattern, crparam):
+def _accumulate_resultants(key, lam_per_read, read_pattern, crparam,
+                           contract="dot"):
     """Draw per-read Poisson increments and average cumulative charge
     into resultants.
 
     lam_per_read : (nreads_total,) relative exposure per frame index
         times the (na, na) rate map -> passed as (na, na) rate in e/frame
         (uniform frame time assumed within the MA table).
+    contract : 'dot' (one XLA dot_general), 'pallas'
+        (ops.contract_pallas streaming kernel).
     Returns (resultants_e (ngrp, na, na), crhits (na, na) int32).
     """
     lastread = read_pattern[-1][-1]
@@ -195,9 +198,12 @@ def _accumulate_resultants(key, lam_per_read, read_pattern, crparam):
     # per-chunk calls recomputes them per chunk and measured 2x slower
     # at 4096^2 despite the smaller live set
     incs = rand.poisson(k_poi, lam_per_read, shape=(nreads, na, na))
-    res = jnp.einsum(
-        "jr,ryx->jyx", T_d, incs, preferred_element_type=jnp.float32
-    )
+    if contract == "pallas":
+        res = contract_pallas.contract_reads(T_d, incs)
+    else:
+        res = jnp.einsum(
+            "jr,ryx->jyx", T_d, incs, preferred_element_type=jnp.float32
+        )
     if do_cr:
         # deposit CRs in the RESULTANT domain: a hit at read r adds q
         # to every cumsum at reads >= r, so its per-resultant weight is
@@ -231,12 +237,12 @@ _SIM_CORE_CACHE = {}
 
 
 def _l1_core_factory(read_pattern, ft, has_biascorr, has_ipc, do_cr,
-                     ipc_pallas=False):
+                     ipc_pallas=False, contract="dot"):
     """Cached jitted L1-synthesis core (arrays passed as arguments —
     closing over full-frame constants breaks the axon remote compile,
     and eager dispatch is unsupported on that backend)."""
     key_t = (tuple(tuple(g) for g in read_pattern), ft, has_biascorr,
-             has_ipc, do_cr, ipc_pallas)
+             has_ipc, do_cr, ipc_pallas, contract)
     if key_t in _SIM_CORE_CACHE:
         return _SIM_CORE_CACHE[key_t]
 
@@ -276,7 +282,7 @@ def _l1_core_factory(read_pattern, ft, has_biascorr, has_ipc, do_cr,
         lam_per_frame = jnp.clip(rate_e * ft, 0.0, None)
         res_e, crhits = _accumulate_resultants(
             k_app, lam_per_frame, read_pattern,
-            {"frame_time": ft} if do_cr else None,
+            {"frame_time": ft} if do_cr else None, contract=contract,
         )
 
         # IL forward model, batched over resultants (electrons -> raw DN)

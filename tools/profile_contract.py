@@ -1,0 +1,108 @@
+"""A/B the resultant contraction variants on hardware.
+
+Times, at full frame (nreads=14 -> ngrp=6 via the default read
+pattern's cumulative-membership matrix):
+
+- ``poisson``     — the bulk per-read draw alone (baseline to subtract)
+- ``acc_dot``     — draw + XLA dot_general contraction (current sim path)
+- ``acc_pallas``  — draw + ops.contract_pallas.contract_reads
+
+Usage: python tools/profile_contract.py [nside]
+"""
+
+import functools
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from romanimpreprocess_tpu import benchlib
+from romanimpreprocess_tpu.ops import contract_pallas, rand
+
+
+def timed(fn, n_lo=1, n_hi=4):
+    def chain(n):
+        key = rand.sim_key(11)
+        for _ in range(n):
+            key = fn(key)
+        return jax.device_get(jax.random.key_data(key))
+
+    chain(n_lo)
+    chain(n_hi)
+    best = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        chain(n_lo)
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        chain(n_hi)
+        t_hi = time.perf_counter() - t0
+        best.append((t_hi - t_lo) / (n_hi - n_lo))
+    return float(np.median(best))
+
+
+def main():
+    nside = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    na = nside - 8
+    rp = benchlib.READ_PATTERN_DEFAULT
+    nreads = rp[-1][-1] + 1
+    ngrp = len(rp)
+    T = np.zeros((ngrp, nreads), np.float64)
+    for j, grp in enumerate(rp):
+        for r in grp:
+            T[j, : r + 1] += 1.0 / len(grp)
+    T[:, 0] = 0.0
+    T_d = jax.device_put(jnp.asarray(T, jnp.float32))
+    rate = jax.device_put(jnp.full((na, na), 2.7, jnp.float32))
+
+    @jax.jit
+    def cksum(key, x):
+        s = x.sum()
+        return jax.random.fold_in(
+            key, jnp.where(jnp.isfinite(s), 1, 0).astype(jnp.int32))
+
+    @jax.jit
+    def poisson(key, rate):
+        incs = rand.poisson(jax.random.fold_in(key, 0), rate,
+                            shape=(nreads, na, na))
+        return cksum(key, incs[:, ::997, ::997].sum())
+
+    @functools.partial(jax.jit, static_argnames=("mode",))
+    def acc(key, rate, T_d, mode):
+        incs = rand.poisson(jax.random.fold_in(key, 0), rate,
+                            shape=(nreads, na, na))
+        if mode == "pallas":
+            res = contract_pallas.contract_reads(T_d, incs)
+        else:
+            res = jnp.einsum("jr,ryx->jyx", T_d, incs,
+                             preferred_element_type=jnp.float32)
+        return cksum(key, res)
+
+    stages = {
+        "poisson": functools.partial(poisson, rate=rate),
+        "acc_dot": functools.partial(acc, rate=rate, T_d=T_d, mode="dot"),
+        "acc_pallas": functools.partial(acc, rate=rate, T_d=T_d,
+                                        mode="pallas"),
+    }
+    out = {}
+    for name, fn in stages.items():
+        try:
+            dt = timed(fn)
+            out[name] = round(dt * 1e3, 2)
+            print(f"{name:12s} {dt*1e3:8.2f} ms", flush=True)
+        except Exception as e:  # noqa: BLE001 - report and continue
+            out[name + "_error"] = repr(e)
+            print(f"{name:12s} FAILED: {e!r}", flush=True)
+    import json
+
+    print(json.dumps({"nside": nside, "stages_ms": out}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
