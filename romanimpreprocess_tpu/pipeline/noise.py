@@ -70,7 +70,7 @@ def _weightvecs_and_endslice(processinfo, ngrp):
 
 
 def resample_traced(key, e_exp, gain_d, endslice_d, read_pattern,
-                    weightvecs, ngrp):
+                    weightvecs, ngrp, contract="dot"):
     """Trace-level per-raw-read Poisson resampling contracted by
     per-pixel endslice weights (reference 'P...r',
     ``gen_noise_image.py:268-322``).  ``read_pattern``/``weightvecs``
@@ -114,9 +114,14 @@ def resample_traced(key, e_exp, gain_d, endslice_d, read_pattern,
     # (per-chunk calls recompute them and measured 2x slower; see
     # sim_to_l1._accumulate_resultants)
     incs = rand.poisson(key, e_exp, shape=(nreads, n, n))
-    contrib = jnp.einsum(
-        "er,ryx->eyx", M_d, incs, preferred_element_type=jnp.float32
-    )
+    if contract == "pallas":
+        from ..ops import contract_pallas
+
+        contrib = contract_pallas.contract_reads(M_d, incs)
+    else:
+        contrib = jnp.einsum(
+            "er,ryx->eyx", M_d, incs, preferred_element_type=jnp.float32
+        )
     # per-pixel selection by endslice (select-chain, no gather)
     out = jnp.zeros((n, n), jnp.float32)
     for es in range(ngrp):

@@ -177,6 +177,7 @@ def make_exposure_noise_core(prep, pack, layers, config=None, jit=True):
         return resample_traced(
             jax.random.fold_in(lkey, 1), e_exp, gain_a, endslice_c,
             read_pattern, weightvecs, ngrp,
+            contract=cfg.get("contract", "dot"),
         )
 
     def run(key, arrs):
@@ -366,6 +367,7 @@ def _staged_layer_machinery(prep, pack, config):
             diff = resample_traced(
                 jax.random.fold_in(key, 1), e_exp, gain_a, endslice_c,
                 read_pattern, weightvecs, ngrp,
+                contract=cfg.get("contract", "dot"),
             )
         if final_sky_order is not None:
             # trailing 'S' of a pure-'P' layer fused into this program
