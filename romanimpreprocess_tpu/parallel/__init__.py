@@ -157,6 +157,40 @@ def calibrate_fpa(configs, mesh=None, write=True, max_workers=8,
     return trees
 
 
+def make_fpa_exposure_runner(prep, pack, layers, mesh, config=None):
+    """Full production exposure — sim -> L1 fill -> L2 calibration ->
+    noise layers — batched over SCAs and sharded over the ``("sca",)``
+    mesh.
+
+    The reference runs this workload as 18 independent Slurm tasks
+    (``runs/summer2025run/OpenUniverse_to_L1L2.py:155-169``); here one
+    host process drives the whole focal plane: every staged stage is
+    ``jit(vmap(stage))`` with outputs sharded over the mesh, so each
+    chip computes its shard of SCAs and nothing crosses ICI (the SCA
+    math is independent; collectives appear only in summary
+    reductions like :func:`fpa_summary`).
+
+    ``run(key, batch)``: ``key`` is ONE exposure-level rbg key (per-SCA
+    streams are derived internally — a caller-supplied key ARRAY would
+    be silently reduced to lane 0 by the batched rbg bit generator;
+    see the lane_keys note in ``noise_core._staged_layer_machinery``),
+    ``batch`` the per-SCA array bundle with a leading SCA axis (see
+    :func:`shard_batch`); n_sca must be a multiple of the mesh size
+    (pad by repeating SCAs, as :func:`calibrate_fpa` does).
+    Returns sharded ``(noise_cube, base_out, checksums)``; lane 0
+    reproduces a single-SCA staged run keyed with
+    ``jax.random.split(key, n_sca)[0]`` (bit-identical RNG stream and
+    integer DQ; float maps agree to vmap reduction-order drift ~1e-6),
+    the other lanes are independent counter-extended streams
+    (statistically gated in ``tests/test_fpa_exposure.py``).
+    """
+    from ..pipeline import noise_core
+
+    return noise_core.make_staged_exposure_runner(
+        prep, pack, layers, config=config, mesh=mesh
+    )
+
+
 def fpa_summary(mesh, slopes):
     """Example focal-plane reduction: per-SCA means gathered across the
     mesh (the ``fpaplot``-style summary path, riding one all-gather)."""

@@ -213,7 +213,14 @@ class _StagedMachinery:
     device).  Built by :func:`_staged_layer_machinery`."""
 
 
-def _staged_layer_machinery(prep, pack, config):
+def _staged_layer_machinery(prep, pack, config, mesh=None):
+    """``mesh=None``: single-SCA stages (one jit each).  With a
+    ``("sca",)`` :class:`jax.sharding.Mesh`, every stage is instead
+    ``jit(vmap(stage))`` with outputs sharded over the mesh axis — the
+    focal-plane production form, where one dispatch per stage drives
+    every chip and each chip holds its shard of SCAs (the per-SCA math
+    is identical; SURVEY.md §2.4's embarrassingly-parallel structure).
+    """
     m = _StagedMachinery()
     config = config or {}
     plan, cfg, geom = prep["plan"], prep["cfg"], prep["geom"]
@@ -228,20 +235,71 @@ def _staged_layer_machinery(prep, pack, config):
     m.read_pattern, m.frame_time = read_pattern, frame_time
 
     med_p = bool(cfg.get("med_pallas", False))
-    m.core = l1_to_l2._get_core(plan, cfg, geom)
+
+    # ---- stage wrapper: single-SCA jit, or (mesh set) jit(vmap(...))
+    # with outputs sharded over the ("sca",) axis ----
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        _spec = NamedSharding(mesh, PartitionSpec("sca"))
+
+    def _wrap(fn, statics=(), in_axes=0, shard_out=True):
+        if mesh is None:
+            if statics:
+                return jax.jit(fn, static_argnames=statics)
+            return jax.jit(fn)
+        jkw = {"out_shardings": _spec} if shard_out else {}
+        if not statics:
+            return jax.jit(jax.vmap(fn, in_axes=in_axes), **jkw)
+        cache = {}
+
+        def call(*args, **kwargs):
+            skey = tuple(kwargs.pop(k, None) for k in statics)
+            assert not kwargs, f"unexpected kwargs: {kwargs}"
+            if skey not in cache:
+                bound = functools.partial(fn, **dict(zip(statics, skey)))
+                cache[skey] = jax.jit(
+                    jax.vmap(bound, in_axes=in_axes), **jkw
+                )
+            return cache[skey](*args)
+
+        return call
+
+    m.wrap = _wrap
+    # Batched lane keys are DERIVED from one exposure key, never taken
+    # from the caller: under vmap the rbg bit generator draws the whole
+    # batch from lane 0's key (the other lanes get counter-extended
+    # streams and their key values are IGNORED — verified on jax 0.8;
+    # see jax's PRNG design notes on non-threefry impls).  Accepting a
+    # caller key array would silently correlate realizations whose
+    # lane-0 keys collide.  Streams are deterministic per
+    # (key, n_sca, backend) and independent across lanes; lane 0's
+    # stream is bit-identical to a single-SCA run with
+    # split(key, n)[0] (float outputs then agree to vmap
+    # reduction-order drift, integer DQ exactly).
+    m.lane_keys = jax.jit(
+        lambda key, n: jax.random.split(key, n), static_argnames="n"
+    )
+    core_1 = l1_to_l2._get_core(plan, cfg, geom)
     # noise-layer 'R' re-entries consume ONLY the slope — a restricted-
     # output core lets XLA dead-code-eliminate the error/variance maps,
     # the smooth-mode sky diagnostic, and the dq packaging of those
     # re-runs (~25% of the calibration core's wall clock)
-    m.core_r = l1_to_l2._get_core(
+    core_r_1 = l1_to_l2._get_core(
         plan, dict(cfg, outputs=("slope",)), geom
     )
     # the base calibration feeding the layers needs only these four
-    m.core_base = l1_to_l2._get_core(
+    core_base_1 = l1_to_l2._get_core(
         plan,
         dict(cfg, outputs=("slope", "slope_withsky", "endslice", "pdq")),
         geom,
     )
+    if mesh is None:
+        m.core, m.core_r, m.core_base = core_1, core_r_1, core_base_1
+    else:
+        m.core = _wrap(core_1)
+        m.core_r = _wrap(core_r_1)
+        m.core_base = _wrap(core_base_1)
     do_amp33 = m.do_amp33 = cfg["use_amp33"]
     fillcore_act = sim_to_l1._fill_core_factory(
         tuple(len(g) for g in read_pattern), nside, cw, nb, True,
@@ -268,11 +326,12 @@ def _staged_layer_machinery(prep, pack, config):
         )
 
     # ---- small jitted stages (args only; no large closures) ----
-    @jax.jit
     def split_keys(key):
-        return jax.random.split(key, 8)
+        ks = jax.random.split(key, 8)
+        # a tuple (not a stacked array) so batched callers index the
+        # same way: ks[i] is one key, or one key per SCA under vmap
+        return tuple(ks[i] for i in range(8))
 
-    @jax.jit
     def perturb_fill(key, src_u16, read_sigma, resetnoise, dark_cube,
                      amp33_med, amp33_std):
         """White read noise + full refdata/1-f/amp33 refill in ONE
@@ -304,12 +363,10 @@ def _staged_layer_machinery(prep, pack, config):
             },
         )
 
-    @jax.jit
     def dark_as_u16(dark_cube):
         return jnp.clip(dark_cube, 0, 65535).astype(jnp.uint16)
 
-    @functools.partial(jax.jit, static_argnames=("zclip", "sky_order"))
-    def diff_zclip(new_slope, orig_slope, zclip, sky_order=None):
+    def diff_zclip(new_slope, orig_slope, zclip=None, sky_order=None):
         diff = new_slope[act, act] - orig_slope[act, act]
         if zclip is not None:
             q25, med, q75 = sky.bisect_quantiles(diff, (0.25, 0.5, 0.75))
@@ -326,7 +383,6 @@ def _staged_layer_machinery(prep, pack, config):
             diff = diff - model
         return diff
 
-    @jax.jit
     def o_layer(key, endslice, withsky, gain):
         gain_a = jnp.clip(gain, 1e-4, 1e4)[act, act]
         es = endslice.astype(jnp.int32)
@@ -347,11 +403,8 @@ def _staged_layer_machinery(prep, pack, config):
         )
         return draw * hasw / gain_a
 
-    @functools.partial(
-        jax.jit, static_argnames=("sky_order", "resample", "final_sky_order")
-    )
-    def p_layer(key, endslice, withsky, gain, sky_order, resample,
-                final_sky_order=None):
+    def p_layer(key, endslice, withsky, gain, sky_order=None,
+                resample=False, final_sky_order=None):
         gain_a = jnp.clip(gain, 1e-4, 1e4)[act, act]
         es = endslice.astype(jnp.int32)
         endslice_c = jnp.where(es > 0, es, ngrp - 1)
@@ -376,12 +429,10 @@ def _staged_layer_machinery(prep, pack, config):
             diff = diff - model
         return diff
 
-    @functools.partial(jax.jit, static_argnames=("sky_order",))
-    def s_layer(diff, sky_order):
+    def s_layer(diff, sky_order=None):
         _, model = sky.medfit(diff, order=sky_order, pallas=med_p)
         return diff - model
 
-    @jax.jit
     def final_checksum(key, cube):
         s = cube.sum()
         return jax.random.fold_in(
@@ -390,19 +441,24 @@ def _staged_layer_machinery(prep, pack, config):
 
     # every op between stages goes through a jit — eager dispatch is
     # unreliable on the axon relay backend
-    m.split_keys = split_keys
-    m.perturb_fill = perturb_fill
-    m.dark_as_u16 = dark_as_u16
-    m.diff_zclip = diff_zclip
-    m.o_layer = o_layer
-    m.p_layer = p_layer
-    m.s_layer = s_layer
-    m.final_checksum = final_checksum
-    m.fold = jax.jit(jax.random.fold_in)
-    m.to_f32 = jax.jit(lambda x: x.astype(jnp.float32))
-    m.add2 = jax.jit(lambda a, b: a + b)
-    m.stack_cube = jax.jit(lambda *ds: jnp.stack(ds))
-    m.zeros_na = jax.jit(lambda: jnp.zeros((na, na), jnp.float32))
+    m.split_keys = _wrap(split_keys, shard_out=False)
+    m.perturb_fill = _wrap(perturb_fill)
+    m.dark_as_u16 = _wrap(dark_as_u16)
+    m.diff_zclip = _wrap(diff_zclip, statics=("zclip", "sky_order"))
+    m.o_layer = _wrap(o_layer)
+    m.p_layer = _wrap(
+        p_layer, statics=("sky_order", "resample", "final_sky_order")
+    )
+    m.s_layer = _wrap(s_layer, statics=("sky_order",))
+    m.final_checksum = _wrap(final_checksum, shard_out=False)
+    m.fold = _wrap(jax.random.fold_in, in_axes=(0, None),
+                   shard_out=False)
+    m.to_f32 = _wrap(lambda x: x.astype(jnp.float32))
+    m.add2 = _wrap(lambda a, b: a + b)
+    m.stack_cube = _wrap(lambda *ds: jnp.stack(ds))
+    # shaped off the (na, na) endslice map so the batched form needs no
+    # static batch size
+    m.zeros_na = _wrap(lambda es: jnp.zeros(es.shape, jnp.float32))
     # dark-reference L2 cache: the non-'a' 'R' layers calibrate the
     # dark cube itself, which is exposure-independent — computed once
     # and reused across layers AND across run() calls on the same
@@ -468,7 +524,7 @@ def _run_layers(m, layers, layer_key, arrs0, base, im_u16):
                 float(layer_subscript(flags.upper(), "Z"))
                 if "z" in flags else None
             )
-            diff = m.diff_zclip(new, orig, zc, fuse_s)
+            diff = m.diff_zclip(new, orig, zclip=zc, sky_order=fuse_s)
             del new, orig
         if "O" in cmd:
             d = m.o_layer(fold(lkey, 2), base["endslice"],
@@ -482,19 +538,21 @@ def _run_layers(m, layers, layer_key, arrs0, base, im_u16):
             )
             d = m.p_layer(
                 fold(lkey, 3), base["endslice"],
-                base["slope_withsky"], arrs0["gain"], so, "r" in flags,
+                base["slope_withsky"], arrs0["gain"],
+                sky_order=so, resample="r" in flags,
                 final_sky_order=fuse_s,
             )
             diff = d if diff is None else m.add2(diff, d)
         if diff is None:
-            diff = m.zeros_na()
+            diff = m.zeros_na(base["endslice"])
         if s_ord is not None and fuse_s is None:
-            diff = m.s_layer(diff, s_ord)
+            diff = m.s_layer(diff, sky_order=s_ord)
         diffs.append(diff)
     return diffs
 
 
-def make_staged_exposure_runner(prep, pack, layers, config=None):
+def make_staged_exposure_runner(prep, pack, layers, config=None,
+                                mesh=None):
     """Host-staged full exposure: the same math as
     :func:`make_full_exposure_core`, issued as a handful of separately
     jitted stages instead of one fused program.
@@ -510,8 +568,19 @@ def make_staged_exposure_runner(prep, pack, layers, config=None):
     all device arrays; ``checksum`` is a scalar data-dependent on every
     layer, so fetching it synchronizes the whole exposure (the axon
     relay's ``block_until_ready`` does not).
+
+    With ``mesh`` (a ``("sca",)`` device mesh) every stage runs batched
+    over a leading SCA axis sharded across the mesh: ``key`` stays ONE
+    exposure-level key (per-SCA streams are derived internally — see
+    the lane_keys note in :func:`_staged_layer_machinery`; a caller key
+    array would be silently ignored beyond lane 0 by the batched rbg
+    generator) and every leaf of ``arrs`` gains a leading SCA axis
+    (see :func:`..parallel.shard_batch`).  This is the focal-plane
+    production form of the reference's per-SCA Slurm array
+    (``OpenUniverse_to_L1L2.py:155-169`` x 18 tasks) — one host process,
+    one dispatch per stage, every chip computing its SCA shard.
     """
-    m = _staged_layer_machinery(prep, pack, config)
+    m = _staged_layer_machinery(prep, pack, config, mesh=mesh)
     nside, nb, cw = m.geom
     read_pattern = m.read_pattern
     cfg = prep["cfg"]
@@ -526,8 +595,13 @@ def make_staged_exposure_runner(prep, pack, layers, config=None):
         float(pack.amp33_m_pink), float(pack.amp33_ru_pink),
         im_is_active=True,
     )
+    if mesh is not None:
+        simcore = m.wrap(simcore)
+        fillcore_active = m.wrap(fillcore_active)
 
     def run(key, arrs):
+        if mesh is not None:
+            key = m.lane_keys(key, n=arrs["rate"].shape[0])
         ks = m.split_keys(key)
         res, _l1dq = simcore(ks[0], arrs["rate"], arrs)
         im_u16, amp33_u16 = fillcore_active(
@@ -557,7 +631,7 @@ def make_staged_exposure_runner(prep, pack, layers, config=None):
     return run
 
 
-def make_staged_noise_runner(prep, pack, layers, config=None):
+def make_staged_noise_runner(prep, pack, layers, config=None, mesh=None):
     """Device-resident noise stack for an EXISTING L1 exposure (the
     config-driven ``generate_all_noise`` path).
 
@@ -570,11 +644,14 @@ def make_staged_noise_runner(prep, pack, layers, config=None):
 
     Returns ``run(key, arrs) -> (noise_cube, base_out, checksum)``;
     ``arrs`` is ``prep["arr"] | fill_aux_arrays(pack, geom)`` staged to
-    device (``data`` = the base L1 cube, uint16).
+    device (``data`` = the base L1 cube, uint16).  ``mesh``: see
+    :func:`make_staged_exposure_runner` (batched-over-SCAs form).
     """
-    m = _staged_layer_machinery(prep, pack, config)
+    m = _staged_layer_machinery(prep, pack, config, mesh=mesh)
 
     def run(key, arrs):
+        if mesh is not None:
+            key = m.lane_keys(key, n=arrs["data"].shape[0])
         base = m.core_base(arrs)
         diffs = _run_layers(m, layers, key, arrs, base, arrs["data"])
         cube = m.stack_cube(*diffs)

@@ -1,0 +1,119 @@
+"""Batched-over-SCAs staged production exposure on the device mesh.
+
+``parallel.make_fpa_exposure_runner`` runs the full per-SCA production
+workload (sim -> L1 fill -> L2 calibration -> noise layers; reference
+``runs/summer2025run/OpenUniverse_to_L1L2.py:155-169``) vmapped over a
+leading SCA axis and sharded over a ``("sca",)`` mesh.
+
+RNG contract (see the lane_keys note in
+``noise_core._staged_layer_machinery``): under vmap the rbg bit
+generator draws the whole batch from lane 0's key, so the runner takes
+ONE exposure key and lane 0 is bit-identical to a single-SCA run keyed
+with ``split(key, n)[0]``; the other lanes are counter-extended
+independent streams gated statistically here.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from romanimpreprocess_tpu import benchlib, parallel
+from romanimpreprocess_tpu.pipeline import noise_core
+
+N = 128
+NA = N - 8
+LAYERS = ["Rz4S2", "O", "PbrS2"]
+
+
+def _batch(arr, nsca):
+    out = {}
+    for k, v in arr.items():
+        v = np.asarray(v)
+        out[k] = np.broadcast_to(v[None], (nsca,) + v.shape).copy()
+    return out
+
+
+def _spread(x):
+    q25, q75 = np.percentile(x, [25, 75])
+    return (q75 - q25) / 1.34896
+
+
+def test_fpa_exposure_lane0_exact_and_lanes_gated():
+    arr, prep, pack = benchlib.exposure_bundle(nside=N)
+    nsca, ndev = 4, 2
+    mesh = parallel.sca_mesh(ndev)
+    batch = _batch(arr, nsca)
+    key = jax.random.key(7, impl="rbg")
+
+    run_b = parallel.make_fpa_exposure_runner(prep, pack, LAYERS, mesh)
+    cube_b, base_b, cks = run_b(key, parallel.shard_batch(mesh, batch))
+    cube_b = np.asarray(cube_b)
+    assert cube_b.shape == (nsca, len(LAYERS), NA, NA)
+    assert np.isfinite(cube_b).all()
+    assert np.isfinite(np.asarray(cks)).all() and cks.shape == (nsca,)
+    # distinct RNG lanes: no two SCAs share a noise plane
+    for i in range(nsca):
+        for j in range(i + 1, nsca):
+            assert not np.array_equal(cube_b[i], cube_b[j]), (i, j)
+
+    # lane 0 reproduces the single-SCA staged runner at split[0]: the
+    # RNG stream is bit-identical (vmapped rbg draws derive from lane
+    # 0's key), integer DQ is exact, and the float maps agree to vmap's
+    # reduction-order drift (~1e-6 observed; the calibration core's
+    # matmuls accumulate in a different order under vmap)
+    run_1 = noise_core.make_staged_exposure_runner(prep, pack, LAYERS)
+    k0 = jax.random.split(key, nsca)[0]
+    arrs_0 = {k: jnp.asarray(v[0]) for k, v in batch.items()}
+    cube_0, base_0, _ = run_1(k0, arrs_0)
+    np.testing.assert_allclose(
+        cube_b[0], np.asarray(cube_0), rtol=1e-3, atol=1e-4
+    )
+    np.testing.assert_array_equal(
+        np.asarray(base_b["pdq"])[0], np.asarray(base_0["pdq"])
+    )
+
+    # the other lanes: same statistical content per layer
+    good = np.asarray(base_0["pdq"])[4:-4, 4:-4] == 0
+    for i in range(1, nsca):
+        for j in range(len(LAYERS)):
+            r = _spread(cube_b[i, j][good]) / _spread(cube_b[0, j][good])
+            assert 0.8 < r < 1.25, (i, LAYERS[j], r)
+
+
+def test_fpa_exposure_deterministic_per_key():
+    arr, prep, pack = benchlib.exposure_bundle(nside=N)
+    nsca = 2
+    mesh = parallel.sca_mesh(2)
+    batch = parallel.shard_batch(mesh, _batch(arr, nsca))
+    run_b = parallel.make_fpa_exposure_runner(
+        prep, pack, ["Rz4S2", "O"], mesh
+    )
+    c1, _, _ = run_b(jax.random.key(5, impl="rbg"), batch)
+    c2, _, _ = run_b(jax.random.key(5, impl="rbg"), batch)
+    c3, _, _ = run_b(jax.random.key(6, impl="rbg"), batch)
+    assert np.array_equal(np.asarray(c1), np.asarray(c2))
+    assert not np.array_equal(np.asarray(c1), np.asarray(c3))
+
+
+def test_fpa_noise_runner_batched():
+    """The device-resident noise stack for EXISTING L1 exposures also
+    runs batched over the mesh (the config-driven production path)."""
+    arr, prep, pack = benchlib.exposure_bundle(nside=N)
+    nsca = 2
+    mesh = parallel.sca_mesh(2)
+    batch = _batch(arr, nsca)
+    key = jax.random.key(3, impl="rbg")
+    run_b = noise_core.make_staged_noise_runner(
+        prep, pack, ["Rz4S2", "O"], mesh=mesh
+    )
+    cube_b, base_b, cks = run_b(key, parallel.shard_batch(mesh, batch))
+    cube_b = np.asarray(cube_b)
+    assert cube_b.shape == (nsca, 2, NA, NA)
+    assert np.isfinite(cube_b).all()
+    run_1 = noise_core.make_staged_noise_runner(prep, pack, ["Rz4S2", "O"])
+    arrs_0 = {k: jnp.asarray(v[0]) for k, v in batch.items()}
+    cube_0, _, _ = run_1(jax.random.split(key, nsca)[0], arrs_0)
+    np.testing.assert_allclose(
+        cube_b[0], np.asarray(cube_0), rtol=1e-3, atol=1e-4
+    )

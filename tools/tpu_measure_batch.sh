@@ -1,0 +1,21 @@
+#!/bin/bash
+# Wait for the axon TPU backend to recover, then run the measurement
+# batch sequentially, appending results to /tmp/tpu_batch_results.txt.
+OUT=/tmp/tpu_batch_results.txt
+echo "=== batch start $(date -u +%H:%M:%S) ===" >> "$OUT"
+for i in $(seq 1 200); do
+  if timeout 120 python -c "import jax; jax.jit(lambda x: x + 1)(1.0)" \
+      >/dev/null 2>&1; then
+    echo "tpu alive at $(date -u +%H:%M:%S) (attempt $i)" >> "$OUT"
+    break
+  fi
+  sleep 60
+done
+cd /root/repo
+echo "--- profile_staged $(date -u +%H:%M:%S) ---" >> "$OUT"
+timeout 3000 python tools/profile_staged.py >> "$OUT" 2>&1
+echo "--- profile_contract $(date -u +%H:%M:%S) ---" >> "$OUT"
+timeout 3000 python tools/profile_contract.py >> "$OUT" 2>&1
+echo "--- bench $(date -u +%H:%M:%S) ---" >> "$OUT"
+timeout 3000 python bench.py >> "$OUT" 2>&1
+echo "=== batch done $(date -u +%H:%M:%S) ===" >> "$OUT"
