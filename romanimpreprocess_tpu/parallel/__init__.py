@@ -26,6 +26,16 @@ def sca_mesh(n_devices=None, devices=None):
     return Mesh(np.array(devices), ("sca",))
 
 
+def broadcast_batch(arrays, n_sca):
+    """Replicate a single-SCA array bundle to a leading SCA axis
+    (host-side; pair with :func:`shard_batch` to place on the mesh)."""
+    out = {}
+    for k, v in arrays.items():
+        v = np.asarray(v)
+        out[k] = np.broadcast_to(v[None], (n_sca,) + v.shape).copy()
+    return out
+
+
 def shard_batch(mesh, arrays):
     """Place a pytree of stacked per-SCA arrays with the leading axis
     sharded over the mesh's "sca" axis."""

@@ -643,6 +643,10 @@ def prepare_inputs(l1, config, pack, area_factor=None):
         ipc_pallas=(str(config.get("IPC_BACKEND", "xla")).lower() == "pallas"),
         lin_pallas=(str(config.get("LIN_BACKEND", "xla")).lower() == "pallas"),
         med_pallas=(str(config.get("SKY_BACKEND", "xla")).lower() == "pallas"),
+        # read-axis resultant contraction: 'dot' (XLA dot_general) or
+        # 'pallas' (ops.contract_pallas streaming kernel) — consumed by
+        # the sim accumulator and the noise 'P' resample
+        contract=str(config.get("CONTRACT_BACKEND", "dot")).lower(),
         has_dark_dq=pack.dark_dq is not None,
         skyorder=int(config.get("SKYORDER", -1)),
     )

@@ -57,6 +57,10 @@ def make_exposure_noise_core(prep, pack, layers, config=None, jit=True):
     """
     config = config or {}
     plan, cfg, geom = prep["plan"], prep["cfg"], prep["geom"]
+    if "CONTRACT_BACKEND" in config:
+        # run-config override for preps built without the run config
+        # (e.g. benchlib bundles)
+        cfg = dict(cfg, contract=str(config["CONTRACT_BACKEND"]).lower())
     nside, nb, cw = geom
     na = nside - 2 * nb
     act = slice(nb, nside - nb)
@@ -224,6 +228,11 @@ def _staged_layer_machinery(prep, pack, config, mesh=None):
     m = _StagedMachinery()
     config = config or {}
     plan, cfg, geom = prep["plan"], prep["cfg"], prep["geom"]
+    if "CONTRACT_BACKEND" in config:
+        # run-config override for preps built without the run config
+        # (e.g. benchlib bundles)
+        cfg = dict(cfg, contract=str(config["CONTRACT_BACKEND"]).lower())
+    m.cfg = cfg
     nside, nb, cw = geom
     na = nside - 2 * nb
     act = slice(nb, nside - nb)
@@ -583,7 +592,7 @@ def make_staged_exposure_runner(prep, pack, layers, config=None,
     m = _staged_layer_machinery(prep, pack, config, mesh=mesh)
     nside, nb, cw = m.geom
     read_pattern = m.read_pattern
-    cfg = prep["cfg"]
+    cfg = m.cfg  # incl. any config-level backend overrides
     simcore = sim_to_l1._l1_core_factory(
         read_pattern, m.frame_time, False, cfg["has_ipc"], True,
         ipc_pallas=cfg.get("ipc_pallas", False),
@@ -687,6 +696,7 @@ def make_full_exposure_core(prep, pack, layers, config=None):
     simcore = sim_to_l1._l1_core_factory(
         read_pattern, frame_time, False, cfg["has_ipc"], True,
         ipc_pallas=cfg.get("ipc_pallas", False),
+        contract=cfg.get("contract", "dot"),
     )
     do_amp33 = cfg["use_amp33"]
     fillcore = sim_to_l1._fill_core_factory(

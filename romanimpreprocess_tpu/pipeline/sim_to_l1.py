@@ -314,7 +314,8 @@ def _l1_core_factory(read_pattern, ft, has_biascorr, has_ipc, do_cr,
 
 
 def make_l1_fullcal(key, counts_rate_e, read_pattern, pack, frame_time=None,
-                    crparam=None, persistence=None, ipc_pallas=False):
+                    crparam=None, persistence=None, ipc_pallas=False,
+                    contract="dot"):
     """Counts rate (e/s, active region) -> L1 resultants in raw DN.
 
     Mirrors reference ``make_l1_fullcal`` (``sim_to_isim.py:163-262``):
@@ -369,7 +370,7 @@ def make_l1_fullcal(key, counts_rate_e, read_pattern, pack, frame_time=None,
     core = _l1_core_factory(
         read_pattern, float(ft), pack.biascorr is not None,
         pack.ipc_kernel is not None, crparam is not None,
-        ipc_pallas=ipc_pallas,
+        ipc_pallas=ipc_pallas, contract=contract,
     )
     return core(key, jnp.asarray(counts_rate_e, jnp.float32), arrs)
 
@@ -621,6 +622,7 @@ class Image2D:
             ipc_pallas=(
                 str(config.get("IPC_BACKEND", "xla")).lower() == "pallas"
             ),
+            contract=str(config.get("CONTRACT_BACKEND", "dot")).lower(),
         )
 
         no_amp33 = bool(caldir.get("NO_AMP33", False))

@@ -60,3 +60,19 @@ def test_sim_core_contract_option_traces():
     rate = jnp.full((na, na), 2.0, jnp.float32)
     out_shape = jax.eval_shape(core, key, rate, arrs)
     assert out_shape[0].shape == (len(rp), na, na)
+
+
+def test_contract_backend_config_plumbing():
+    """CONTRACT_BACKEND reaches the compiled cores: the sim run-config
+    key, the L1->L2 prepare_inputs cfg, and the staged-machinery
+    config-level override (benchlib preps carry no run config)."""
+    from romanimpreprocess_tpu import benchlib
+    from romanimpreprocess_tpu.pipeline import noise_core
+
+    arr, prep, pack = benchlib.exposure_bundle(nside=64)
+    m = noise_core._staged_layer_machinery(
+        prep, pack, {"CONTRACT_BACKEND": "pallas"}
+    )
+    assert m.cfg["contract"] == "pallas"
+    m2 = noise_core._staged_layer_machinery(prep, pack, None)
+    assert m2.cfg.get("contract", "dot") == "dot"

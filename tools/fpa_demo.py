@@ -136,12 +136,7 @@ def main():
     ndev = len(jax.devices())
     nexp = min(nside, 256)  # exposure-runner demo geometry
     arr, prep, pack = benchlib.exposure_bundle(nside=nexp)
-    batch = {
-        k: np.broadcast_to(
-            np.asarray(v)[None], (ndev,) + np.asarray(v).shape
-        ).copy()
-        for k, v in arr.items()
-    }
+    batch = parallel.broadcast_batch(arr, ndev)
     run = parallel.make_fpa_exposure_runner(
         prep, pack, ["Rz4S2", "O", "PbrS2"], mesh
     )

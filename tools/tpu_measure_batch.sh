@@ -3,14 +3,20 @@
 # batch sequentially, appending results to /tmp/tpu_batch_results.txt.
 OUT=/tmp/tpu_batch_results.txt
 echo "=== batch start $(date -u +%H:%M:%S) ===" >> "$OUT"
+alive=0
 for i in $(seq 1 200); do
   if timeout 120 python -c "import jax; jax.jit(lambda x: x + 1)(1.0)" \
       >/dev/null 2>&1; then
     echo "tpu alive at $(date -u +%H:%M:%S) (attempt $i)" >> "$OUT"
+    alive=1
     break
   fi
   sleep 60
 done
+if [ "$alive" != 1 ]; then
+  echo "=== tpu never recovered; batch skipped $(date -u +%H:%M:%S) ===" >> "$OUT"
+  exit 1
+fi
 cd /root/repo
 echo "--- profile_staged $(date -u +%H:%M:%S) ---" >> "$OUT"
 timeout 3000 python tools/profile_staged.py >> "$OUT" 2>&1
