@@ -217,6 +217,9 @@ class _StagedMachinery:
     device).  Built by :func:`_staged_layer_machinery`."""
 
 
+_MACHINERY_CACHE = {}
+
+
 def _staged_layer_machinery(prep, pack, config, mesh=None):
     """``mesh=None``: single-SCA stages (one jit each).  With a
     ``("sca",)`` :class:`jax.sharding.Mesh`, every stage is instead
@@ -224,14 +227,32 @@ def _staged_layer_machinery(prep, pack, config, mesh=None):
     focal-plane production form, where one dispatch per stage drives
     every chip and each chip holds its shard of SCAs (the per-SCA math
     is identical; SURVEY.md §2.4's embarrassingly-parallel structure).
+
+    Machinery is cached by content: runners built for different layer
+    SETS over the same (plan, cfg, geometry, MA table, cal constants)
+    reuse the same jitted stage objects — without this, every
+    ``make_staged_*_runner`` call would re-jit (and on the TPU relay,
+    re-remote-compile) programs identical to ones already built.
     """
-    m = _StagedMachinery()
     config = config or {}
     plan, cfg, geom = prep["plan"], prep["cfg"], prep["geom"]
     if "CONTRACT_BACKEND" in config:
         # run-config override for preps built without the run config
         # (e.g. benchlib bundles)
         cfg = dict(cfg, contract=str(config["CONTRACT_BACKEND"]).lower())
+    cache_key = (
+        l1_to_l2.core_key(plan, cfg, geom),
+        tuple(tuple(g) for g in prep["read_pattern"]),
+        float(prep["frame_time"]),
+        np.asarray(prep["weights_out"], np.float64).tobytes(),
+        np.asarray(prep["meta"]["tbar"], np.float64).tobytes(),
+        float(pack.c_pink), float(pack.u_pink),
+        float(pack.amp33_m_pink), float(pack.amp33_ru_pink),
+        mesh,  # jax Mesh is hashable (device identity + axis names)
+    )
+    if cache_key in _MACHINERY_CACHE:
+        return _MACHINERY_CACHE[cache_key]
+    m = _StagedMachinery()
     m.cfg = cfg
     nside, nb, cw = geom
     na = nside - 2 * nb
@@ -473,6 +494,7 @@ def _staged_layer_machinery(prep, pack, config, mesh=None):
     # and reused across layers AND across run() calls on the same
     # staged dark cube (id-keyed; entries are (weakable) device arrays)
     m._dark_ref_cache = {}
+    _MACHINERY_CACHE[cache_key] = m
     return m
 
 

@@ -175,3 +175,20 @@ def test_deterministic_per_key(fused):
     assert np.array_equal(np.asarray(c1), np.asarray(c2))
     c3, _ = run(rand.sim_key(124), arrs)
     assert not np.array_equal(np.asarray(c1), np.asarray(c3))
+
+
+def test_staged_machinery_cached_across_layer_sets():
+    """Runners for different layer SETS over the same (plan, cfg,
+    geometry, MA table, cal constants) must share one machinery — a
+    fresh build per runner would re-jit (and on the TPU relay,
+    re-remote-compile) identical stage programs."""
+    from romanimpreprocess_tpu import benchlib
+
+    arr, prep, pack = benchlib.exposure_bundle(nside=64)
+    m1 = noise_core._staged_layer_machinery(prep, pack, None)
+    m2 = noise_core._staged_layer_machinery(prep, pack, None)
+    assert m1 is m2
+    m3 = noise_core._staged_layer_machinery(
+        prep, pack, {"CONTRACT_BACKEND": "pallas"}
+    )
+    assert m3 is not m1 and m3.cfg["contract"] == "pallas"
