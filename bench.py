@@ -147,6 +147,19 @@ def main():
         extras["exposure_layers"] = "Rz4S2+O+PbrS2"
         extras["fpa_18sca_exposure_proj_s_on_8chip"] = round(
             extras["exposure_sim_l2_noise3_ms"] / 1e3 * 18 / 8, 3)
+    # the reference's actual production layer set (8 noise layers,
+    # OpenUniverse_to_L1L2.py / pipeline.batch.DEFAULT_LAYERS) — the
+    # staged machinery is shared with the 3-layer run above, so this
+    # adds dispatches, not compiles
+    from romanimpreprocess_tpu.pipeline.batch import DEFAULT_LAYERS
+
+    _extra("exposure_production8_ms",
+           lambda: _bench_exposure(jax, jnp, functools, benchlib, nside,
+                                   layers=DEFAULT_LAYERS, n_hi=2))
+    if "exposure_production8_ms" in extras:
+        extras["production8_layers"] = ",".join(DEFAULT_LAYERS)
+        extras["fpa_18sca_production8_proj_s_on_8chip"] = round(
+            extras["exposure_production8_ms"] / 1e3 * 18 / 8, 3)
     print("extras: " + json.dumps(extras), file=sys.stderr, flush=True)
     try:
         out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -205,10 +218,11 @@ def _core_samples(jax, jnp, functools, benchlib, l1_to_l2, nside,
     return samples
 
 
-def _bench_exposure(jax, jnp, functools, benchlib, nside):
-    """Time the single-program production exposure: L1 synthesis +
-    refdata/1-f fill + L1->L2 calibration + noise layers
-    ['Rz4S2', 'O', 'PbrS2'] (the reference's per-exposure workload,
+def _bench_exposure(jax, jnp, functools, benchlib, nside,
+                    layers=("Rz4S2", "O", "PbrS2"), n_hi=3):
+    """Time the staged production exposure: L1 synthesis +
+    refdata/1-f fill + L1->L2 calibration + the given noise layers
+    (the reference's per-exposure workload,
     ``OpenUniverse_to_L1L2.py:155-169``)."""
     from romanimpreprocess_tpu.ops import rand
     from romanimpreprocess_tpu.pipeline import noise_core
@@ -225,9 +239,7 @@ def _bench_exposure(jax, jnp, functools, benchlib, nside):
     # single-program form exceeds the relay compile service's appetite
     # at 4096^2); intermediates stay on device, the checksum fetch is
     # the only synchronization.
-    run = noise_core.make_staged_exposure_runner(
-        prep, pack, ["Rz4S2", "O", "PbrS2"]
-    )
+    run = noise_core.make_staged_exposure_runner(prep, pack, list(layers))
     # don't stage arrays the traced cores never read: the "data"
     # placeholder (the synthesized L1 replaces it), the zero
     # biascorr/dark_dq (cfg has_biascorr/has_dark_dq are False), and
@@ -253,7 +265,7 @@ def _bench_exposure(jax, jnp, functools, benchlib, nside):
             key = fold(key, cs)
         return float(jax.device_get(cs))
 
-    n_lo, n_hi = 1, 3
+    n_lo = 1
     chain(n_lo)
     chain(n_hi)
     t0 = time.perf_counter()
