@@ -18,10 +18,12 @@ if [ "$alive" != 1 ]; then
   exit 1
 fi
 cd /root/repo
-echo "--- profile_staged $(date -u +%H:%M:%S) ---" >> "$OUT"
-timeout 3000 python tools/profile_staged.py >> "$OUT" 2>&1
+echo "--- profile_staged (stages + R sub-stages) $(date -u +%H:%M:%S) ---" >> "$OUT"
+timeout 3000 python tools/profile_staged.py 4096 all >> "$OUT" 2>&1
 echo "--- profile_contract $(date -u +%H:%M:%S) ---" >> "$OUT"
 timeout 3000 python tools/profile_contract.py >> "$OUT" 2>&1
-echo "--- bench $(date -u +%H:%M:%S) ---" >> "$OUT"
-timeout 3000 python bench.py >> "$OUT" 2>&1
+echo "--- profile_stages ablate (IPC marginal w/ Pallas) $(date -u +%H:%M:%S) ---" >> "$OUT"
+timeout 3000 python tools/profile_stages.py ablate >> "$OUT" 2>&1
+echo "--- bench (incl. production8 extra) $(date -u +%H:%M:%S) ---" >> "$OUT"
+timeout 4500 python bench.py >> "$OUT" 2>&1
 echo "=== batch done $(date -u +%H:%M:%S) ===" >> "$OUT"
