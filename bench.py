@@ -25,7 +25,7 @@ def _wait_for_backend():
     """Probe the default JAX backend in a SUBPROCESS (a hung axon
     relay poisons in-process backend caches and `jax.devices()` can
     block indefinitely — observed during round 3).  Retries for up to
-    ROMAN_BENCH_TPU_WAIT_S (default 900 s), then reports failure so the
+    ROMAN_BENCH_TPU_WAIT_S (default 600 s), then reports failure so the
     caller can fall back to an explicitly-flagged CPU measurement
     instead of emitting nothing (the round-2 rc=124 failure mode).
 
@@ -123,8 +123,10 @@ def main():
     deadline = _T0 + float(os.environ.get("ROMAN_BENCH_BUDGET_S", "1200"))
     extras = {}
 
-    def _extra(name, fn):
-        if os.environ.get("ROMAN_BENCH_EXPOSURE", "1") == "0":
+    def _extra(name, fn, exposure=False):
+        # ROMAN_BENCH_EXPOSURE=0 skips only the (slow-compiling) staged
+        # exposure benches, not the sim/likelihood extras
+        if exposure and os.environ.get("ROMAN_BENCH_EXPOSURE", "1") == "0":
             extras[name + "_error"] = "skipped (ROMAN_BENCH_EXPOSURE=0)"
             return
         if time.perf_counter() > deadline:
@@ -142,7 +144,8 @@ def main():
                jax, jnp, functools, benchlib, l1_to_l2, nside,
                likelihood=True))))
     _extra("exposure_sim_l2_noise3_ms",
-           lambda: _bench_exposure(jax, jnp, functools, benchlib, nside))
+           lambda: _bench_exposure(jax, jnp, functools, benchlib, nside),
+           exposure=True)
     if "exposure_sim_l2_noise3_ms" in extras:
         extras["exposure_layers"] = "Rz4S2+O+PbrS2"
         extras["fpa_18sca_exposure_proj_s_on_8chip"] = round(
@@ -155,7 +158,8 @@ def main():
 
     _extra("exposure_production8_ms",
            lambda: _bench_exposure(jax, jnp, functools, benchlib, nside,
-                                   layers=DEFAULT_LAYERS, n_hi=2))
+                                   layers=DEFAULT_LAYERS, n_hi=2),
+           exposure=True)
     if "exposure_production8_ms" in extras:
         extras["production8_layers"] = ",".join(DEFAULT_LAYERS)
         extras["fpa_18sca_production8_proj_s_on_8chip"] = round(

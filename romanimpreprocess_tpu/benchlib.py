@@ -223,3 +223,41 @@ def core_bundle(nside=4096, read_pattern=None, seed=1000, frame_time=3.04,
         cal["ipc_kernel"], th=32
     )
     return arr, plan, cfg, (nside, nborder, cw)
+
+
+def timed_chain(step, n_lo=1, n_hi=3, repeats=2, seed=5, reduce=min):
+    """Chain-differenced wall clock of ``step: key -> key`` seconds.
+
+    On the axon relay backend ``block_until_ready`` does not
+    synchronize remote execution, so each measurement times a
+    serially-dependent chain of ``step`` dispatches (each step's key is
+    data-dependent on the previous step's product) and differences two
+    chain lengths — the dispatch/fetch overhead cancels exactly.
+    Shared by the profiling tools (``tools/profile_staged.py`` etc.);
+    ``reduce`` collapses the ``repeats`` samples (``min`` for stage
+    attribution, ``np.median`` for reported numbers).
+    """
+    import time
+
+    import jax
+
+    from .ops import rand
+
+    def chain(n):
+        key = rand.sim_key(seed)
+        for _ in range(n):
+            key = step(key)
+        return jax.device_get(jax.random.key_data(key))
+
+    chain(n_lo)  # compile/warm both chain lengths
+    chain(n_hi)
+    samples = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        chain(n_lo)
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        chain(n_hi)
+        t_hi = time.perf_counter() - t0
+        samples.append((t_hi - t_lo) / (n_hi - n_lo))
+    return float(reduce(samples))

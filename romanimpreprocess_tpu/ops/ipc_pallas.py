@@ -60,16 +60,22 @@ def kernel_planes_padded(kernel, th=32):
     """
     na = kernel.shape[-1]
     ck = (id(kernel), th)
-    if ck not in _PAD_CACHE:
-        _, width, _, rows_in = _pad_geom(na, th)
-        kp = np.zeros((9, rows_in, width), np.float32)
-        kp[:, th : th + na, 2 : 2 + na] = np.asarray(
-            kernel, np.float32
-        ).reshape(9, na, na)
-        if len(_PAD_CACHE) > 4:
-            _PAD_CACHE.clear()
-        _PAD_CACHE[ck] = (kp, kernel)  # strong ref guards the id key
-    return _PAD_CACHE[ck][0]
+    hit = _PAD_CACHE.get(ck)
+    if hit is not None:
+        return hit[0]
+    _, width, _, rows_in = _pad_geom(na, th)
+    kp = np.zeros((9, rows_in, width), np.float32)
+    kp[:, th : th + na, 2 : 2 + na] = np.asarray(
+        kernel, np.float32
+    ).reshape(9, na, na)
+    # each 4096^2 slab is ~0.6 GB host RAM — hold at most two, evicting
+    # oldest (insertion-ordered dict); return the local value so a
+    # concurrent eviction from calibrate_fpa's thread pool can't race
+    # an insert-then-re-read
+    while len(_PAD_CACHE) > 1:
+        _PAD_CACHE.pop(next(iter(_PAD_CACHE)), None)
+    _PAD_CACHE[ck] = (kp, kernel)  # strong ref guards the id key
+    return kp
 
 
 def _kernel_padded_or_pad(kernel, na, th, width, rows_in):

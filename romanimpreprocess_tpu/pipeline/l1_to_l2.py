@@ -374,30 +374,34 @@ def ipc_precal(flat, dark_slope, gain, ipc_kernel, nborder):
     """
     nb = nborder
     ck = (id(flat), id(dark_slope), id(gain), id(ipc_kernel), nb)
-    if ck not in _IPC_PRECAL_CACHE:
-        gain_act = np.asarray(gain[nb:-nb, nb:-nb], np.float32)
-        gain_flat = np.clip(gain_act, 0.1, None)
-        flat_clipped = np.clip(
-            np.asarray(flat[nb:-nb, nb:-nb], np.float32), 0.1, 10.0
+    hit = _IPC_PRECAL_CACHE.get(ck)
+    if hit is not None:
+        return hit[0]
+    gain_act = np.asarray(gain[nb:-nb, nb:-nb], np.float32)
+    gain_flat = np.clip(gain_act, 0.1, None)
+    flat_clipped = np.clip(
+        np.asarray(flat[nb:-nb, nb:-nb], np.float32), 0.1, 10.0
+    )
+    dslope_act = np.asarray(dark_slope[nb:-nb, nb:-nb], np.float32)
+    stacked = np.stack(
+        [dslope_act * gain_act, flat_clipped * gain_flat]
+    )
+    corr = np.asarray(
+        jax.jit(ipc.ipc_rev)(
+            jnp.asarray(stacked), jnp.asarray(ipc_kernel)
         )
-        dslope_act = np.asarray(dark_slope[nb:-nb, nb:-nb], np.float32)
-        stacked = np.stack(
-            [dslope_act * gain_act, flat_clipped * gain_flat]
-        )
-        corr = np.asarray(
-            jax.jit(ipc.ipc_rev)(
-                jnp.asarray(stacked), jnp.asarray(ipc_kernel)
-            )
-        )
-        if len(_IPC_PRECAL_CACHE) > 4:
-            _IPC_PRECAL_CACHE.clear()
-        # keep strong refs to the inputs so a GC'd array can't alias
-        # a stale id-keyed entry
-        _IPC_PRECAL_CACHE[ck] = (
-            (corr[0] / gain_act, corr[1] / gain_flat),
-            (flat, dark_slope, gain, ipc_kernel),
-        )
-    return _IPC_PRECAL_CACHE[ck][0]
+    )
+    out = (corr[0] / gain_act, corr[1] / gain_flat)
+    # evict oldest first (insertion-ordered dict) so concurrent readers
+    # of other live entries never see a wholesale clear; called from
+    # calibrate_fpa's thread pool, so return the local value rather
+    # than re-reading the dict
+    while len(_IPC_PRECAL_CACHE) > 4:
+        _IPC_PRECAL_CACHE.pop(next(iter(_IPC_PRECAL_CACHE)), None)
+    # keep strong refs to the inputs so a GC'd array can't alias
+    # a stale id-keyed entry
+    _IPC_PRECAL_CACHE[ck] = (out, (flat, dark_slope, gain, ipc_kernel))
+    return out
 
 
 _CORE_CACHE = {}

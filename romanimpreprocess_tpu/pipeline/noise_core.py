@@ -310,7 +310,6 @@ def _staged_layer_machinery(prep, pack, config, mesh=None):
     m.lane_keys = jax.jit(
         lambda key, n: jax.random.split(key, n), static_argnames="n"
     )
-    core_1 = l1_to_l2._get_core(plan, cfg, geom)
     # noise-layer 'R' re-entries consume ONLY the slope — a restricted-
     # output core lets XLA dead-code-eliminate the error/variance maps,
     # the smooth-mode sky diagnostic, and the dq packaging of those
@@ -325,9 +324,8 @@ def _staged_layer_machinery(prep, pack, config, mesh=None):
         geom,
     )
     if mesh is None:
-        m.core, m.core_r, m.core_base = core_1, core_r_1, core_base_1
+        m.core_r, m.core_base = core_r_1, core_base_1
     else:
-        m.core = _wrap(core_1)
         m.core_r = _wrap(core_r_1)
         m.core_base = _wrap(core_base_1)
     do_amp33 = m.do_amp33 = cfg["use_amp33"]
@@ -490,9 +488,13 @@ def _staged_layer_machinery(prep, pack, config, mesh=None):
     # static batch size
     m.zeros_na = _wrap(lambda es: jnp.zeros(es.shape, jnp.float32))
     # dark-reference L2 cache: the non-'a' 'R' layers calibrate the
-    # dark cube itself, which is exposure-independent — computed once
-    # and reused across layers AND across run() calls on the same
-    # staged dark cube (id-keyed; entries are (weakable) device arrays)
+    # dark cube itself.  The slope is NOT exposure-independent — the
+    # refpix correction inside the core reads the exposure's RNG-drawn
+    # amp33 — so entries are keyed by (dark_cube, amp33) identity and
+    # hold strong refs to both (a live entry's ids can't be recycled).
+    # Reuse is therefore across layers within one run(), never across
+    # runs with different keys (which would make run(k2)'s output
+    # depend on which keys ran before it).
     m._dark_ref_cache = {}
     _MACHINERY_CACHE[cache_key] = m
     return m
@@ -511,13 +513,22 @@ def _run_layers(m, layers, layer_key, arrs0, base, im_u16):
     core = m.core_r  # 'R' re-entries need only the slope (see above)
 
     def dark_ref(arrs0):
-        ck = id(arrs0["dark_cube"])
-        if ck not in m._dark_ref_cache:
-            data_ref = m.dark_as_u16(arrs0["dark_cube"])
-            ref_out = core(dict(arrs0, data=data_ref))
-            m._dark_ref_cache.clear()  # hold at most one exposure's worth
-            m._dark_ref_cache[ck] = (data_ref, ref_out["slope"])
-        return m._dark_ref_cache[ck]
+        amp33 = arrs0.get("amp33")
+        ck = (id(arrs0["dark_cube"]), id(amp33))
+        hit = m._dark_ref_cache.get(ck)
+        if (
+            hit is not None
+            and hit[0] is arrs0["dark_cube"]
+            and hit[1] is amp33
+        ):
+            return hit[2], hit[3]
+        data_ref = m.dark_as_u16(arrs0["dark_cube"])
+        ref_out = core(dict(arrs0, data=data_ref))
+        m._dark_ref_cache.clear()  # hold at most one run's worth
+        m._dark_ref_cache[ck] = (
+            arrs0["dark_cube"], amp33, data_ref, ref_out["slope"]
+        )
+        return data_ref, ref_out["slope"]
 
     diffs = []
     for i_noise, cmd in enumerate(layers):

@@ -192,3 +192,23 @@ def test_staged_machinery_cached_across_layer_sets():
         prep, pack, {"CONTRACT_BACKEND": "pallas"}
     )
     assert m3 is not m1 and m3.cfg["contract"] == "pallas"
+
+
+def test_staged_runner_history_independent():
+    """run(key2) must not depend on which keys ran before it.
+
+    The non-'a' 'R' dark-reference L2 reads the exposure's RNG-drawn
+    amp33 through the refpix correction; a dark-reference cache keyed
+    only by the dark cube would replay the FIRST run's reference slope
+    into every later run (observed: max abs diff 0.185 at nside=64
+    before the (dark_cube, amp33)-identity keying)."""
+    from romanimpreprocess_tpu import benchlib
+
+    arr, prep, pack = benchlib.exposure_bundle(nside=64)
+    run = noise_core.make_staged_exposure_runner(prep, pack, ["Rz4"])
+    arrs = {k: jnp.asarray(v) for k, v in arr.items()}
+    cube_a, _, _ = run(rand.sim_key(2), arrs)  # key2 alone (cold cache)
+    cube_a = np.asarray(cube_a)
+    run(rand.sim_key(1), arrs)                 # a different key first
+    cube_b, _, _ = run(rand.sim_key(2), arrs)  # then key2 again
+    assert np.array_equal(cube_a, np.asarray(cube_b))

@@ -13,7 +13,6 @@ Usage: python tools/profile_contract.py [nside]
 import functools
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -27,24 +26,8 @@ from romanimpreprocess_tpu.ops import contract_pallas, rand
 
 
 def timed(fn, n_lo=1, n_hi=4):
-    def chain(n):
-        key = rand.sim_key(11)
-        for _ in range(n):
-            key = fn(key)
-        return jax.device_get(jax.random.key_data(key))
-
-    chain(n_lo)
-    chain(n_hi)
-    best = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        chain(n_lo)
-        t_lo = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        chain(n_hi)
-        t_hi = time.perf_counter() - t0
-        best.append((t_hi - t_lo) / (n_hi - n_lo))
-    return float(np.median(best))
+    return benchlib.timed_chain(fn, n_lo=n_lo, n_hi=n_hi, repeats=3,
+                                seed=11, reduce=np.median)
 
 
 def main():

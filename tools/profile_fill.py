@@ -17,7 +17,6 @@ Usage: python tools/profile_fill.py [nside]
 import functools
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -26,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from romanimpreprocess_tpu import benchlib
-from romanimpreprocess_tpu.ops import pink, rand
+from romanimpreprocess_tpu.ops import pink
 from romanimpreprocess_tpu.pipeline import sim_to_l1
 
 NVEC = tuple(len(g) for g in benchlib.READ_PATTERN_DEFAULT)
@@ -121,24 +120,8 @@ def build(nside):
 
 
 def timed(fn, n_lo=1, n_hi=4):
-    def chain(n):
-        key = rand.sim_key(11)
-        for _ in range(n):
-            key = fn(key)
-        return jax.device_get(jax.random.key_data(key))
-
-    chain(n_lo)
-    chain(n_hi)
-    best = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        chain(n_lo)
-        t_lo = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        chain(n_hi)
-        t_hi = time.perf_counter() - t0
-        best.append((t_hi - t_lo) / (n_hi - n_lo))
-    return min(best)
+    return benchlib.timed_chain(fn, n_lo=n_lo, n_hi=n_hi, repeats=3,
+                                seed=11, reduce=min)
 
 
 def main():

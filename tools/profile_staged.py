@@ -14,7 +14,6 @@ L2 -> noise layers).
 import functools
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -23,7 +22,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from romanimpreprocess_tpu import benchlib
-from romanimpreprocess_tpu.ops import rand
 from romanimpreprocess_tpu.pipeline import noise_core, sim_to_l1
 from romanimpreprocess_tpu.pipeline.noise_core import _run_layers
 
@@ -101,14 +99,14 @@ def build(nside):
             if "a" in flags:
                 src, orig = im_u16, base["slope"]
             else:
-                # dark-reference source (cached, amortized as in
-                # production where one cal pack serves many exposures)
-                ck = id(arrs0["dark_cube"])
-                if ck not in m._dark_ref_cache:
-                    data_ref = m.dark_as_u16(arrs0["dark_cube"])
-                    ref_out = m.core_r(dict(arrs0, data=data_ref))
-                    m._dark_ref_cache[ck] = (data_ref, ref_out["slope"])
-                src, orig = m._dark_ref_cache[ck]
+                # dark-reference L2: a genuine per-exposure cost (the
+                # refpix correction inside the core reads the
+                # exposure's amp33, so it cannot be amortized across
+                # exposures — mirrors _run_layers.dark_ref)
+                src = m.dark_as_u16(arrs0["dark_cube"])
+                orig = m.core_r(dict(arrs0, data=src))["slope"]
+            if rsub == "darkref":
+                return cksum(key, orig)
             new_u16, _a33 = m.perturb_fill(
                 m.fold(lkey, 0), src, arrs0["read_sigma"],
                 arrs0["fill_resetnoise"], arrs0["dark_cube"],
@@ -143,26 +141,10 @@ def build(nside):
 
 
 def timed(fn, n_lo=1, n_hi=3):
-    def chain(n):
-        # every prefix returns a fresh key data-dependent on its last
-        # product, so feeding it forward serializes the iterations
-        key = rand.sim_key(5)
-        for _ in range(n):
-            key = fn(key)
-        return jax.device_get(jax.random.key_data(key))
-
-    chain(n_lo)
-    chain(n_hi)
-    best = []
-    for _ in range(2):
-        t0 = time.perf_counter()
-        chain(n_lo)
-        t_lo = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        chain(n_hi)
-        t_hi = time.perf_counter() - t0
-        best.append((t_hi - t_lo) / (n_hi - n_lo))
-    return min(best)
+    # every prefix returns a fresh key data-dependent on its last
+    # product, so feeding it forward serializes the iterations
+    return benchlib.timed_chain(fn, n_lo=n_lo, n_hi=n_hi, repeats=2,
+                                seed=5, reduce=min)
 
 
 def main():
@@ -174,7 +156,7 @@ def main():
         prev = timed(functools.partial(
             lambda key, d: prefix(key, arrs, d), d=2))
         print(f"{'base':12s} cum {prev*1e3:8.1f} ms", flush=True)
-        for sub in ("fill", "cal", "zclip"):
+        for sub in ("darkref", "fill", "cal", "zclip"):
             dt = timed(functools.partial(
                 lambda key, s: prefix(key, arrs, 3, rsub=s), s=sub))
             print(f"+R/{sub:9s} cum {dt*1e3:8.1f} ms   stage "
@@ -190,7 +172,6 @@ def main():
         print(f"{name:12s} cum {dt*1e3:8.1f} ms   stage "
               f"{(dt - prev)*1e3:8.1f} ms", flush=True)
         prev = dt
-
 
 if __name__ == "__main__":
     main()
