@@ -4,7 +4,7 @@
 OUT=/tmp/tpu_batch_results.txt
 echo "=== batch start $(date -u +%H:%M:%S) ===" >> "$OUT"
 alive=0
-for i in $(seq 1 200); do
+for i in $(seq 1 600); do
   if timeout 120 python -c "import jax; jax.jit(lambda x: x + 1)(1.0)" \
       >/dev/null 2>&1; then
     echo "tpu alive at $(date -u +%H:%M:%S) (attempt $i)" >> "$OUT"
@@ -24,6 +24,8 @@ echo "--- profile_contract $(date -u +%H:%M:%S) ---" >> "$OUT"
 timeout 3000 python tools/profile_contract.py >> "$OUT" 2>&1
 echo "--- profile_stages ablate (IPC marginal w/ Pallas) $(date -u +%H:%M:%S) ---" >> "$OUT"
 timeout 3000 python tools/profile_stages.py ablate >> "$OUT" 2>&1
+echo "--- profile_hbm (base-cal ballast sweep) $(date -u +%H:%M:%S) ---" >> "$OUT"
+timeout 3000 python tools/profile_hbm.py >> "$OUT" 2>&1
 echo "--- bench (incl. production8 extra) $(date -u +%H:%M:%S) ---" >> "$OUT"
 timeout 4500 python bench.py >> "$OUT" 2>&1
 echo "=== batch done $(date -u +%H:%M:%S) ===" >> "$OUT"
