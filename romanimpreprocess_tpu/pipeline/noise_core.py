@@ -46,6 +46,33 @@ def fill_aux_arrays(pack, geom):
     }
 
 
+def exposure_arrays(prep, pack, rate):
+    """Full array bundle for the EXPOSURE runners from a real cal pack.
+
+    ``prep`` is :func:`..l1_to_l2.prepare_inputs` output (built against
+    any L1 tree of the target geometry/MA table), ``rate`` the (na, na)
+    active-region charge rate in e/s (e.g. ``Image2D.truth_rate``).
+    Combines the L1->L2 bundle (minus the ``data`` placeholder — the
+    synthesized L1 replaces it), the refdata-fill aux planes, and the
+    sim-side active-region cal slices ``make_l1_fullcal`` stages
+    (reference ``sim_to_isim.py:163-262``).  This is the non-synthetic
+    counterpart of ``benchlib.exposure_bundle``'s array assembly.
+    """
+    nside, nb, cw = prep["geom"]
+    act = slice(nb, nside - nb)
+    arr = {k: v for k, v in prep["arr"].items() if k != "data"}
+    arr.update(fill_aux_arrays(pack, prep["geom"]))
+    arr.update(
+        rate=np.asarray(rate, np.float32),
+        gain_act=np.asarray(pack.gain[act, act], np.float32),
+        resetnoise_act=np.asarray(pack.resetnoise[act, act], np.float32),
+        read_sigma_act=np.asarray(pack.read_sigma[act, act], np.float32),
+        dark_slope_act=np.asarray(pack.dark_slope[act, act], np.float32),
+        biascorr_t0=np.float32(pack.biascorr_t0),
+    )
+    return arr
+
+
 def make_exposure_noise_core(prep, pack, layers, config=None, jit=True):
     """Build the fused (base L2 + noise layers) device core.
 
@@ -626,9 +653,12 @@ def make_staged_exposure_runner(prep, pack, layers, config=None,
     nside, nb, cw = m.geom
     read_pattern = m.read_pattern
     cfg = m.cfg  # incl. any config-level backend overrides
+    # the sim must model the same biascorr the calibration subtracts
+    # (reference make_l1_fullcal adds it, sim_to_isim.py:256-258) —
+    # benchlib packs have none, real cal packs may
     simcore = sim_to_l1._l1_core_factory(
-        read_pattern, m.frame_time, False, cfg["has_ipc"], True,
-        ipc_pallas=cfg.get("ipc_pallas", False),
+        read_pattern, m.frame_time, cfg["has_biascorr"], cfg["has_ipc"],
+        True, ipc_pallas=cfg.get("ipc_pallas", False),
         contract=cfg.get("contract", "dot"),
     )
     fillcore_active = sim_to_l1._fill_core_factory(
@@ -727,8 +757,8 @@ def make_full_exposure_core(prep, pack, layers, config=None):
     noise_run = make_exposure_noise_core(prep, pack, layers, config,
                                          jit=False)
     simcore = sim_to_l1._l1_core_factory(
-        read_pattern, frame_time, False, cfg["has_ipc"], True,
-        ipc_pallas=cfg.get("ipc_pallas", False),
+        read_pattern, frame_time, cfg["has_biascorr"], cfg["has_ipc"],
+        True, ipc_pallas=cfg.get("ipc_pallas", False),
         contract=cfg.get("contract", "dot"),
     )
     do_amp33 = cfg["use_amp33"]

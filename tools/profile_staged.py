@@ -40,8 +40,8 @@ def build(nside):
     cfg = prep["cfg"]
     read_pattern = m.read_pattern
     simcore = sim_to_l1._l1_core_factory(
-        read_pattern, m.frame_time, False, cfg["has_ipc"], True,
-        ipc_pallas=pallas,
+        read_pattern, m.frame_time, cfg["has_biascorr"], cfg["has_ipc"],
+        True, ipc_pallas=pallas,
     )
     fillcore_active = sim_to_l1._fill_core_factory(
         tuple(len(g) for g in read_pattern), nside, m.geom[2], m.geom[1],
