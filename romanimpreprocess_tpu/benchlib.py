@@ -144,6 +144,10 @@ def exposure_bundle(nside=4096, read_pattern=None, seed=1000,
         biascorr_t0=np.float32(0.0),
         fill_resetnoise=cal["resetnoise"],
         fill_amp33_std=np.full((nside, cw), 5.0, np.float32),
+        fill_c_pink=np.float32(0.8),
+        fill_u_pink=np.float32(0.4),
+        fill_m_pink=np.float32(0.8),
+        fill_ru_pink=np.float32(1.0),
     )
     prep = dict(
         arr=arr, plan=plan, cfg=cfg, geom=geom,

@@ -14,7 +14,11 @@ Usage::
     python -m romanimpreprocess_tpu.pipeline.batch \
         --in=IN_DIR --out=OUT_DIR --cal=CAL_DIR --tag=TAG \
         [--sca=N | --sca=all] [--seed=500] [--dseed=10] [--nmax=999] \
-        [--reads=0,1,1,2,...] [--layers=Rz4PbrS2C1,...]
+        [--reads=0,1,1,2,...] [--layers=Rz4PbrS2C1,...] [--fpa]
+
+``--fpa`` processes each exposure's SCAs as one focal-plane batch
+(threaded sims, one mesh-sharded calibration, device-resident noise)
+instead of the serial per-SCA loop; outputs are the same files.
 """
 
 import os
@@ -118,6 +122,37 @@ def process_exposure(c1, c2, write_mask=True):
         PixelMask1.convert_file(c2["OUT"], c2["OUT"][:-5] + "_mask.fits")
 
 
+def process_exposure_fpa(jobs, mesh=None, write_mask=True, sim_workers=4):
+    """One exposure's SCAs as a focal-plane batch (``--fpa``).
+
+    The reference runs the production sweep as 18 independent Slurm
+    tasks (``OpenUniverse_to_L1L2.job:4``); here one host process
+    drives the whole focal plane: per-SCA sims run on a host thread
+    pool (device dispatches share the compiled cores and interleave;
+    ``sim_workers`` bounds concurrent cube residency in HBM), then ONE
+    batched mesh calibration covers every SCA
+    (:func:`..parallel.calibrate_fpa`, grouped by compiled-core
+    identity for mixed cal configs), then the device-resident noise
+    engine and the masks run per SCA.  File outputs are identical in
+    kind to :func:`process_exposure`'s (L1/L2/noise ASDF + mask FITS).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .. import parallel
+
+    with ThreadPoolExecutor(max_workers=sim_workers) as pool:
+        list(pool.map(lambda job: sim_to_l1.run_config(job[0]), jobs))
+    c2s = [c2 | {"SLICEOUT": True} for _, c2 in jobs]
+    parallel.calibrate_fpa(c2s, mesh=mesh)
+    for c2 in c2s:
+        if "NOISE" in c2:
+            noise.generate_all_noise(c2)
+        if write_mask:
+            PixelMask1.convert_file(
+                c2["OUT"], c2["OUT"][:-5] + "_mask.fits"
+            )
+
+
 def run(argv=None):
     argv = sys.argv[1:] if argv is None else argv
     input_dir = getval(argv, "in")
@@ -172,6 +207,20 @@ def run(argv=None):
         )
         jobs.append((c1, c2))
         seed += dseed * NSCA
+
+    if getval(argv, "fpa") is not None or "--fpa" in argv:
+        # group the per-SCA jobs of each exposure into one FPA batch
+        from collections import OrderedDict
+
+        groups = OrderedDict()
+        for (infile, band, obsid, sca), job in zip(inputs, jobs):
+            groups.setdefault((band, obsid), []).append(job)
+        for (band, obsid), exposure_jobs in groups.items():
+            print(f"Processing exposure {band}_{obsid} "
+                  f"({len(exposure_jobs)} SCAs, FPA batch)")
+            sys.stdout.flush()
+            process_exposure_fpa(exposure_jobs)
+        return
 
     for c1, c2 in jobs:
         print("Processing", c1["IN"])

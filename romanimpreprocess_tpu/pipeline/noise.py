@@ -227,8 +227,8 @@ def _make_noise_cube_device(config, seed=None, *, pack=None, base_l1=None,
         tuple(map(tuple, prep["read_pattern"])),
         float(prep["frame_time"]),
         np.asarray(prep["weights_out"], np.float32).tobytes(),
-        float(pack.c_pink), float(pack.u_pink),
-        float(pack.amp33_m_pink), float(pack.amp33_ru_pink),
+        # not the pink amplitudes: they ride in arrs as runtime
+        # scalars, so one runner serves every detector
     )
     if ck not in _STAGED_RUNNER_CACHE:
         _STAGED_RUNNER_CACHE[ck] = noise_core.make_staged_noise_runner(

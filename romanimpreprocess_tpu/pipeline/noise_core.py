@@ -43,6 +43,13 @@ def fill_aux_arrays(pack, geom):
             if pack.amp33_std is not None
             else np.zeros((nside, cw), np.float32)
         ),
+        # per-SCA pink-noise amplitudes (from the 'read' cal file) ride
+        # as runtime scalars so one compiled fill core serves every
+        # detector (and mixed-SCA batches stay one machinery group)
+        "fill_c_pink": np.float32(pack.c_pink),
+        "fill_u_pink": np.float32(pack.u_pink),
+        "fill_m_pink": np.float32(pack.amp33_m_pink),
+        "fill_ru_pink": np.float32(pack.amp33_ru_pink),
     }
 
 
@@ -120,9 +127,7 @@ def make_exposure_noise_core(prep, pack, layers, config=None, jit=True):
     do_amp33 = cfg["use_amp33"]
     fillcore = sim_to_l1._fill_core_factory(
         tuple(len(g) for g in read_pattern), nside, cw, nb, True,
-        bool(do_amp33), float(pack.c_pink), float(pack.u_pink),
-        float(pack.amp33_m_pink), float(pack.amp33_ru_pink),
-        im_is_active=True,
+        bool(do_amp33), im_is_active=True,
     )
     def _layer_R(lkey, cmd, arrs, base, endslice_c):
         flags = layer_subscript(cmd, "R")
@@ -157,6 +162,10 @@ def make_exposure_noise_core(prep, pack, layers, config=None, jit=True):
                 "dark_cube": arrs["dark_cube"],
                 "amp33_med": arrs["amp33_med"],
                 "amp33_std": arrs["fill_amp33_std"],
+                "c_pink": arrs["fill_c_pink"],
+                "u_pink": arrs["fill_u_pink"],
+                "m_pink": arrs["fill_m_pink"],
+                "ru_pink": arrs["fill_ru_pink"],
             },
         )
         new_arrs = dict(arrs, data=im_u16)
@@ -273,8 +282,8 @@ def _staged_layer_machinery(prep, pack, config, mesh=None):
         float(prep["frame_time"]),
         np.asarray(prep["weights_out"], np.float64).tobytes(),
         np.asarray(prep["meta"]["tbar"], np.float64).tobytes(),
-        float(pack.c_pink), float(pack.u_pink),
-        float(pack.amp33_m_pink), float(pack.amp33_ru_pink),
+        # NOT the pink amplitudes: they ride in arrs as runtime
+        # scalars, so machinery is shared across detectors
         mesh,  # jax Mesh is hashable (device identity + axis names)
     )
     if cache_key in _MACHINERY_CACHE:
@@ -358,9 +367,7 @@ def _staged_layer_machinery(prep, pack, config, mesh=None):
     do_amp33 = m.do_amp33 = cfg["use_amp33"]
     fillcore_act = sim_to_l1._fill_core_factory(
         tuple(len(g) for g in read_pattern), nside, cw, nb, True,
-        bool(do_amp33), float(pack.c_pink), float(pack.u_pink),
-        float(pack.amp33_m_pink), float(pack.amp33_ru_pink),
-        im_is_active=True,
+        bool(do_amp33), im_is_active=True,
     )
 
     weightvecs, start = weightvec_table(
@@ -388,7 +395,8 @@ def _staged_layer_machinery(prep, pack, config, mesh=None):
         return tuple(ks[i] for i in range(8))
 
     def perturb_fill(key, src_u16, read_sigma, resetnoise, dark_cube,
-                     amp33_med, amp33_std):
+                     amp33_med, amp33_std, c_pink, u_pink, m_pink,
+                     ru_pink):
         """White read noise + full refdata/1-f/amp33 refill in ONE
         stage (the f32 intermediate dies inside the jit instead of
         sitting in HBM between two dispatches).  Only the ACTIVE
@@ -415,6 +423,10 @@ def _staged_layer_machinery(prep, pack, config, mesh=None):
                 "dark_cube": dark_cube,
                 "amp33_med": amp33_med,
                 "amp33_std": amp33_std,
+                "c_pink": c_pink,
+                "u_pink": u_pink,
+                "m_pink": m_pink,
+                "ru_pink": ru_pink,
             },
         )
 
@@ -580,6 +592,8 @@ def _run_layers(m, layers, layer_key, arrs0, base, im_u16):
                 fold(lkey, 0), src, arrs0["read_sigma"],
                 arrs0["fill_resetnoise"], arrs0["dark_cube"],
                 arrs0["amp33_med"], arrs0["fill_amp33_std"],
+                arrs0["fill_c_pink"], arrs0["fill_u_pink"],
+                arrs0["fill_m_pink"], arrs0["fill_ru_pink"],
             )
             del src
             arrs_r = dict(arrs0, data=new_u16)
@@ -663,9 +677,7 @@ def make_staged_exposure_runner(prep, pack, layers, config=None,
     )
     fillcore_active = sim_to_l1._fill_core_factory(
         tuple(len(g) for g in read_pattern), nside, cw, nb, True,
-        bool(m.do_amp33), float(pack.c_pink), float(pack.u_pink),
-        float(pack.amp33_m_pink), float(pack.amp33_ru_pink),
-        im_is_active=True,
+        bool(m.do_amp33), im_is_active=True,
     )
     if mesh is not None:
         simcore = m.wrap(simcore)
@@ -685,6 +697,10 @@ def make_staged_exposure_runner(prep, pack, layers, config=None,
                 "dark_cube": arrs["dark_cube"],
                 "amp33_med": arrs["amp33_med"],
                 "amp33_std": arrs["fill_amp33_std"],
+                "c_pink": arrs["fill_c_pink"],
+                "u_pink": arrs["fill_u_pink"],
+                "m_pink": arrs["fill_m_pink"],
+                "ru_pink": arrs["fill_ru_pink"],
             },
         )
         arrs0 = dict(arrs, data=im_u16)
@@ -764,9 +780,7 @@ def make_full_exposure_core(prep, pack, layers, config=None):
     do_amp33 = cfg["use_amp33"]
     fillcore = sim_to_l1._fill_core_factory(
         tuple(len(g) for g in read_pattern), nside, cw, nb, True,
-        bool(do_amp33), float(pack.c_pink), float(pack.u_pink),
-        float(pack.amp33_m_pink), float(pack.amp33_ru_pink),
-        im_is_active=True,
+        bool(do_amp33), im_is_active=True,
     )
     @jax.jit
     def run(key, arrs):
@@ -781,6 +795,10 @@ def make_full_exposure_core(prep, pack, layers, config=None):
                 "dark_cube": arrs["dark_cube"],
                 "amp33_med": arrs["amp33_med"],
                 "amp33_std": arrs["fill_amp33_std"],
+                "c_pink": arrs["fill_c_pink"],
+                "u_pink": arrs["fill_u_pink"],
+                "m_pink": arrs["fill_m_pink"],
+                "ru_pink": arrs["fill_ru_pink"],
             },
         )
         arrs2 = dict(arrs, data=im_u16)

@@ -406,13 +406,15 @@ def fill_in_refdata_and_1f(key, im, pack, read_pattern, nside, channelwidth,
             pack.amp33_std if pack.amp33_std is not None
             else np.zeros((nside, channelwidth), np.float32)
         ),
+        "c_pink": np.float32(pack.c_pink),
+        "u_pink": np.float32(pack.u_pink),
+        "m_pink": np.float32(pack.amp33_m_pink),
+        "ru_pink": np.float32(pack.amp33_ru_pink),
     }
     nvec = tuple(len(g) for g in read_pattern)
     core = _fill_core_factory(
         nvec, nside, channelwidth, nborder, bool(fill_in_banding),
-        bool(do_amp33), float(pack.c_pink), float(pack.u_pink),
-        float(pack.amp33_m_pink), float(pack.amp33_ru_pink),
-        im_is_active,
+        bool(do_amp33), im_is_active,
     )
     im_u16, amp33_u16 = core(key, arrs)
     return im_u16, (amp33_u16 if do_amp33 else None)
@@ -422,10 +424,15 @@ _FILL_CORE_CACHE = {}
 
 
 def _fill_core_factory(nvec, nside, channelwidth, nborder, fill_in_banding,
-                       do_amp33, c_pink, u_pink, m_pink, ru_pink,
-                       im_is_active=False):
+                       do_amp33, im_is_active=False):
+    """The pink-noise amplitudes (``c_pink``/``u_pink``/``m_pink``/
+    ``ru_pink``) are RUNTIME scalars in ``arrs``, not factory
+    constants: they come from each SCA's ``read`` calibration file, so
+    baking them into the compiled program would force one fill-core
+    (remote) compile per detector and fragment mixed-SCA focal-plane
+    batches into per-SCA machinery groups."""
     key_t = (nvec, nside, channelwidth, nborder, fill_in_banding, do_amp33,
-             c_pink, u_pink, m_pink, ru_pink, im_is_active)
+             im_is_active)
     if key_t in _FILL_CORE_CACHE:
         return _FILL_CORE_CACHE[key_t]
 
@@ -480,8 +487,8 @@ def _fill_core_factory(nvec, nside, channelwidth, nborder, fill_in_banding,
                 k_pink, ngrp * per_grp, nside, channelwidth
             )
             frames = frames.reshape(ngrp, per_grp, nside, channelwidth)
-            common = frames[:, 0] * c_pink
-            uniq = frames[:, 1 : 1 + nch] * u_pink  # (ngrp, nch, ns, cw)
+            common = frames[:, 0] * arrs["c_pink"]
+            uniq = frames[:, 1 : 1 + nch] * arrs["u_pink"]  # (ngrp, nch, ns, cw)
             # odd channels are read in the reverse x direction.  Only
             # the SHARED (common-mode) component's orientation is
             # observable: each unique frame is i.i.d. stationary
@@ -507,7 +514,10 @@ def _fill_core_factory(nvec, nside, channelwidth, nborder, fill_in_banding,
                     jax.random.normal(k_a33, (ngrp, nside, channelwidth))
                     * arrs["amp33_std"][None]
                 )
-                pinkref = ru_pink * frames[:, -1] + m_pink * common
+                pinkref = (
+                    arrs["ru_pink"] * frames[:, -1]
+                    + arrs["m_pink"] * common
+                )
                 a33 = arrs["amp33_med"][None] + (
                     white + pinkref
                 ) / jnp.sqrt(jnp.asarray(nvec_np))[:, None, None]

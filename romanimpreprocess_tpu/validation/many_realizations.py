@@ -176,9 +176,7 @@ def run_many_mesh(config1, config2, nrun, outfile=None, mesh=None,
     ))
     fillcore = m.wrap(s2l._fill_core_factory(
         tuple(len(g) for g in m.read_pattern), nside, m.geom[2], nb,
-        True, bool(m.do_amp33), float(pack.c_pink), float(pack.u_pink),
-        float(pack.amp33_m_pink), float(pack.amp33_ru_pink),
-        im_is_active=True,
+        True, bool(m.do_amp33), im_is_active=True,
     ))
     core_v = m.wrap(l1_to_l2._get_core(
         prep["plan"],
@@ -215,6 +213,10 @@ def run_many_mesh(config1, config2, nrun, outfile=None, mesh=None,
                 "dark_cube": arrs["dark_cube"],
                 "amp33_med": arrs["amp33_med"],
                 "amp33_std": arrs["fill_amp33_std"],
+                "c_pink": arrs["fill_c_pink"],
+                "u_pink": arrs["fill_u_pink"],
+                "m_pink": arrs["fill_m_pink"],
+                "ru_pink": arrs["fill_ru_pink"],
             },
         )
         arrs0 = dict(arrs, data=im_u16)

@@ -57,3 +57,47 @@ def test_getval_and_findcal():
     assert batch.getval(argv, "missing", "dflt") == "dflt"
     p = batch.findcal("/cal", "TAG", "flat", 7)
     assert p == "/cal/roman_wfi_pflat_TAG_SCA07.asdf"
+
+
+def test_batch_fpa_matches_serial(tmp_path):
+    """--fpa (one focal-plane batch per exposure: threaded sims, one
+    mesh-sharded calibration, device noise) produces the same output
+    files as the serial per-SCA loop: identical L1 (same seeds),
+    bit-exact DQ, float maps to vmap reduction-order drift."""
+    d = str(tmp_path)
+    os.makedirs(d + "/IN")
+    os.makedirs(d + "/CAL")
+    for sca in (4, 5):
+        make_scene_file(d + f"/IN/Roman_Test_truth_F184_163_{sca}.fits",
+                        nside_active=NA, nstars=3)
+        make_cal_files(d + "/CAL/roman_wfi", READ_PATTERN, nside=N,
+                       seed=5, tag="T", sca=sca)
+    args = [f"--in={d}/IN", f"--cal={d}/CAL", "--tag=T", "--sca=all",
+            f"--reads={READS}", "--layers=Rz2S2C1"]
+    batch.run(args + [f"--out={d}/OUT_S"])
+    batch.run(args + [f"--out={d}/OUT_F", "--fpa"])
+
+    for sca in (4, 5):
+        stem = f"F184_163_{sca}"
+        l1s = asdf_lite.open(d + f"/OUT_S/L1/sim_L1_{stem}.asdf")["roman"]
+        l1f = asdf_lite.open(d + f"/OUT_F/L1/sim_L1_{stem}.asdf")["roman"]
+        np.testing.assert_array_equal(np.asarray(l1s["data"]),
+                                      np.asarray(l1f["data"]))
+        l2s = asdf_lite.open(d + f"/OUT_S/L2/sim_L2_{stem}.asdf")["roman"]
+        l2f = asdf_lite.open(d + f"/OUT_F/L2/sim_L2_{stem}.asdf")["roman"]
+        np.testing.assert_array_equal(np.asarray(l2s["dq"]),
+                                      np.asarray(l2f["dq"]))
+        np.testing.assert_allclose(np.asarray(l2s["data"]),
+                                   np.asarray(l2f["data"]),
+                                   rtol=1e-3, atol=1e-4)
+        nzs = np.asarray(
+            asdf_lite.open(d + f"/OUT_S/L2/sim_L2_{stem}_noise.asdf")["noise"])
+        nzf = np.asarray(
+            asdf_lite.open(d + f"/OUT_F/L2/sim_L2_{stem}_noise.asdf")["noise"])
+        assert nzs.shape == nzf.shape
+        # same seed, same engine; the noise diff rides the (slightly
+        # drifting) base L2, so gate statistically
+        s_s = np.percentile(nzs, 95) - np.percentile(nzs, 5)
+        s_f = np.percentile(nzf, 95) - np.percentile(nzf, 5)
+        assert 0.8 < s_s / s_f < 1.25
+        assert os.path.exists(d + f"/OUT_F/L2/sim_L2_{stem}_mask.fits")

@@ -212,3 +212,49 @@ def test_staged_runner_history_independent():
     run(rand.sim_key(1), arrs)                 # a different key first
     cube_b, _, _ = run(rand.sim_key(2), arrs)  # then key2 again
     assert np.array_equal(cube_a, np.asarray(cube_b))
+
+
+def test_machinery_shared_across_pink_amplitudes():
+    """The pink-noise amplitudes come from each SCA's 'read' cal file;
+    they must ride as runtime scalars, NOT compile-time constants — a
+    per-detector fill-core compile costs minutes each on the TPU relay
+    and fragments mixed-SCA focal-plane batches into per-SCA machinery
+    groups.  Same prep, different pink scalars -> same machinery object
+    AND a (statistically) different fill: doubling c_pink visibly
+    raises the common-mode banding spread."""
+    import dataclasses
+
+    from romanimpreprocess_tpu import benchlib
+
+    arr, prep, pack = benchlib.exposure_bundle(nside=64)
+    pack2 = dataclasses.replace(pack, c_pink=2.0 * pack.c_pink + 1.0)
+    m1 = noise_core._staged_layer_machinery(prep, pack, None)
+    m2 = noise_core._staged_layer_machinery(prep, pack2, None)
+    assert m1 is m2
+
+    aux1 = noise_core.fill_aux_arrays(pack, prep["geom"])
+    aux2 = noise_core.fill_aux_arrays(pack2, prep["geom"])
+    a1 = dict(arr, **aux1)
+    a2 = dict(arr, **aux2)
+    key = rand.sim_key(3)
+    # zero the white read noise so the active-region spread isolates
+    # the banding amplitude under test
+    a1["read_sigma"] = a2["read_sigma"] = np.zeros_like(
+        np.asarray(a1["read_sigma"])
+    )
+    args1 = [jnp.asarray(a1[k]) for k in
+             ("read_sigma", "fill_resetnoise", "dark_cube", "amp33_med",
+              "fill_amp33_std", "fill_c_pink", "fill_u_pink",
+              "fill_m_pink", "fill_ru_pink")]
+    args2 = [jnp.asarray(a2[k]) for k in
+             ("read_sigma", "fill_resetnoise", "dark_cube", "amp33_med",
+              "fill_amp33_std", "fill_c_pink", "fill_u_pink",
+              "fill_m_pink", "fill_ru_pink")]
+    src = jnp.zeros((m1.ngrp, 64, 64), jnp.uint16)
+    u1, _ = m1.perturb_fill(key, src, *args1)
+    u2, _ = m1.perturb_fill(key, src, *args2)
+    # same key: only the banding amplitude differs; the louder c_pink
+    # must widen the active-region spread
+    s1 = np.std(np.asarray(u1[:, 4:-4, 4:-4], np.float32))
+    s2 = np.std(np.asarray(u2[:, 4:-4, 4:-4], np.float32))
+    assert s2 > s1 * 1.05, (s1, s2)

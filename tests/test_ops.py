@@ -506,8 +506,7 @@ def test_fill_banding_channel_structure():
     nside, cw, nb = 64, 8, 4
     c_pink, u_pink = 5.0, 2.0
     core = sim_to_l1._fill_core_factory(
-        nvec, nside, cw, nb, True, False, c_pink, u_pink, 0.0, 0.0,
-        im_is_active=True,
+        nvec, nside, cw, nb, True, False, im_is_active=True,
     )
     na = nside - 2 * nb
     arrs = {
@@ -516,6 +515,10 @@ def test_fill_banding_channel_structure():
         "resetnoise": np.zeros((nside, nside), np.float32),
         "dark_cube": np.full((3, nside, nside), 1000.0, np.float32),
         "amp33_med": np.zeros((nside, cw), np.float32),
+        "c_pink": np.float32(c_pink),
+        "u_pink": np.float32(u_pink),
+        "m_pink": np.float32(0.0),
+        "ru_pink": np.float32(0.0),
         "amp33_std": np.zeros((nside, cw), np.float32),
     }
     c01, c02, v = [], [], []

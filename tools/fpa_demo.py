@@ -137,6 +137,11 @@ def main():
     nexp = min(nside, 256)  # exposure-runner demo geometry
     arr, prep, pack = benchlib.exposure_bundle(nside=nexp)
     batch = parallel.broadcast_batch(arr, ndev)
+    # heterogeneous detectors: per-SCA pink-noise amplitudes (every
+    # SCA's 'read' cal file differs in production) ride as runtime
+    # data, so the mixed batch stays ONE machinery group / one compile
+    batch["fill_c_pink"] = np.linspace(0.6, 1.0, ndev).astype(np.float32)
+    batch["fill_u_pink"] = np.linspace(0.3, 0.5, ndev).astype(np.float32)
     run = parallel.make_fpa_exposure_runner(
         prep, pack, ["Rz4S2", "O", "PbrS2"], mesh
     )

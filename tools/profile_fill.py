@@ -55,6 +55,10 @@ def build(nside):
         "dark_cube": arr["dark_cube"],
         "amp33_med": arr["amp33_med"],
         "amp33_std": arr["fill_amp33_std"],
+        "c_pink": arr["fill_c_pink"],
+        "u_pink": arr["fill_u_pink"],
+        "m_pink": arr["fill_m_pink"],
+        "ru_pink": arr["fill_ru_pink"],
     }
     fill_arrs = {k: jax.device_put(jnp.asarray(v)) for k, v in
                  fill_arrs.items()}
@@ -94,10 +98,7 @@ def build(nside):
 
     def fillfn(banding):
         core = sim_to_l1._fill_core_factory(
-            NVEC, nside, cw, 4, banding, True,
-            float(pack.c_pink), float(pack.u_pink),
-            float(pack.amp33_m_pink), float(pack.amp33_ru_pink),
-            im_is_active=True,
+            NVEC, nside, cw, 4, banding, True, im_is_active=True,
         )
 
         # arrs passed as an ARGUMENT (closing device arrays over the

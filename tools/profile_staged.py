@@ -45,9 +45,7 @@ def build(nside):
     )
     fillcore_active = sim_to_l1._fill_core_factory(
         tuple(len(g) for g in read_pattern), nside, m.geom[2], m.geom[1],
-        True, bool(m.do_amp33), float(pack.c_pink), float(pack.u_pink),
-        float(pack.amp33_m_pink), float(pack.amp33_ru_pink),
-        im_is_active=True,
+        True, bool(m.do_amp33), im_is_active=True,
     )
     arr = {
         k: v for k, v in arr.items()
@@ -77,6 +75,10 @@ def build(nside):
                 "dark_cube": arrs["dark_cube"],
                 "amp33_med": arrs["amp33_med"],
                 "amp33_std": arrs["fill_amp33_std"],
+                "c_pink": arrs["fill_c_pink"],
+                "u_pink": arrs["fill_u_pink"],
+                "m_pink": arrs["fill_m_pink"],
+                "ru_pink": arrs["fill_ru_pink"],
             },
         )
         if depth == 1:
@@ -111,6 +113,8 @@ def build(nside):
                 m.fold(lkey, 0), src, arrs0["read_sigma"],
                 arrs0["fill_resetnoise"], arrs0["dark_cube"],
                 arrs0["amp33_med"], arrs0["fill_amp33_std"],
+                arrs0["fill_c_pink"], arrs0["fill_u_pink"],
+                arrs0["fill_m_pink"], arrs0["fill_ru_pink"],
             )
             if rsub == "fill":
                 return cksum(key, new_u16)
