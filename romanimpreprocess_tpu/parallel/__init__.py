@@ -17,6 +17,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..pipeline import l1_to_l2
+from ..utils import typefix
 
 
 def sca_mesh(n_devices=None, devices=None):
@@ -47,12 +48,25 @@ def shard_batch(mesh, arrays):
     return jax.tree.map(put, arrays)
 
 
+_FPA_CALIBRATOR_CACHE = {}
+
+
 def make_fpa_calibrator(plan, cfg, geom, mesh):
     """Jitted, sharded L1->L2 calibration over a batch of SCAs.
 
     Input: dict of arrays with a leading SCA axis (sharded over the
     mesh); output: dict of per-SCA results with the same sharding.
+
+    Cached by (compiled-core identity, mesh): a multi-exposure sweep
+    (``batch.py --fpa`` calls :func:`calibrate_fpa` once per exposure)
+    must re-dispatch the SAME jitted program, not re-trace — on the
+    TPU relay a fresh 4096^2 vmapped-core compile costs minutes.
     """
+    ck = (l1_to_l2.core_key(plan, cfg, geom), mesh)
+    hit = _FPA_CALIBRATOR_CACHE.get(ck)
+    if hit is not None:
+        return hit
+
     core = l1_to_l2.make_core(plan, cfg, geom)
     batched = jax.vmap(core)
     spec = NamedSharding(mesh, P("sca"))
@@ -61,6 +75,7 @@ def make_fpa_calibrator(plan, cfg, geom, mesh):
     def run(arrs):
         return batched(arrs)
 
+    _FPA_CALIBRATOR_CACHE[ck] = run
     return run
 
 
@@ -156,6 +171,10 @@ def calibrate_fpa(configs, mesh=None, write=True, max_workers=8,
 
         def write_one(args):
             config, tree = args
+            # same schema-compat step as calibrateimage's write path
+            # (dummy float16 chisq/dumo + meta.dummyfields) so --fpa
+            # and serial runs produce byte-equivalent file structure
+            typefix.fix(tree)
             asdf_lite.AsdfFile(tree).write_to(config["OUT"])
 
         with ThreadPoolExecutor(max_workers=max_workers) as pool:

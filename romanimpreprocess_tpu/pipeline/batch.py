@@ -209,9 +209,14 @@ def run(argv=None):
         seed += dseed * NSCA
 
     if getval(argv, "fpa") is not None or "--fpa" in argv:
-        # group the per-SCA jobs of each exposure into one FPA batch
+        # group the per-SCA jobs of each exposure into one FPA batch;
+        # ONE mesh for the whole sweep so the cached batched calibrator
+        # re-dispatches across exposures instead of re-tracing
         from collections import OrderedDict
 
+        from .. import parallel
+
+        mesh = parallel.sca_mesh()
         groups = OrderedDict()
         for (infile, band, obsid, sca), job in zip(inputs, jobs):
             groups.setdefault((band, obsid), []).append(job)
@@ -219,7 +224,7 @@ def run(argv=None):
             print(f"Processing exposure {band}_{obsid} "
                   f"({len(exposure_jobs)} SCAs, FPA batch)")
             sys.stdout.flush()
-            process_exposure_fpa(exposure_jobs)
+            process_exposure_fpa(exposure_jobs, mesh=mesh)
         return
 
     for c1, c2 in jobs:

@@ -53,6 +53,25 @@ def fill_aux_arrays(pack, geom):
     }
 
 
+def fill_call_arrs(arrs):
+    """The fill-core argument dict (sans ``im``) from a staged arrs
+    bundle — single definition of the staged-name -> fill-name mapping
+    so adding an aux plane is a one-line change, not a sweep of every
+    runner/profiler call site.  Use as
+    ``fillcore(key, dict(fill_call_arrs(arrs), im=im))``."""
+    return {
+        "read_sigma": arrs["read_sigma"],
+        "resetnoise": arrs["fill_resetnoise"],
+        "dark_cube": arrs["dark_cube"],
+        "amp33_med": arrs["amp33_med"],
+        "amp33_std": arrs["fill_amp33_std"],
+        "c_pink": arrs["fill_c_pink"],
+        "u_pink": arrs["fill_u_pink"],
+        "m_pink": arrs["fill_m_pink"],
+        "ru_pink": arrs["fill_ru_pink"],
+    }
+
+
 def exposure_arrays(prep, pack, rate):
     """Full array bundle for the EXPOSURE runners from a real cal pack.
 
@@ -155,18 +174,7 @@ def make_exposure_noise_core(prep, pack, layers, config=None, jit=True):
         im_act = jnp.clip(jnp.round(src + white), 0, 65535)
         im_u16, amp33_u16 = fillcore(
             kf,
-            {
-                "im": im_act,
-                "read_sigma": arrs["read_sigma"],
-                "resetnoise": arrs["fill_resetnoise"],
-                "dark_cube": arrs["dark_cube"],
-                "amp33_med": arrs["amp33_med"],
-                "amp33_std": arrs["fill_amp33_std"],
-                "c_pink": arrs["fill_c_pink"],
-                "u_pink": arrs["fill_u_pink"],
-                "m_pink": arrs["fill_m_pink"],
-                "ru_pink": arrs["fill_ru_pink"],
-            },
+            dict(fill_call_arrs(arrs), im=im_act),
         )
         new_arrs = dict(arrs, data=im_u16)
         if do_amp33:
@@ -394,9 +402,7 @@ def _staged_layer_machinery(prep, pack, config, mesh=None):
         # same way: ks[i] is one key, or one key per SCA under vmap
         return tuple(ks[i] for i in range(8))
 
-    def perturb_fill(key, src_u16, read_sigma, resetnoise, dark_cube,
-                     amp33_med, amp33_std, c_pink, u_pink, m_pink,
-                     ru_pink):
+    def perturb_fill(key, src_u16, fa):
         """White read noise + full refdata/1-f/amp33 refill in ONE
         stage (the f32 intermediate dies inside the jit instead of
         sitting in HBM between two dispatches).  Only the ACTIVE
@@ -410,25 +416,11 @@ def _staged_layer_machinery(prep, pack, config, mesh=None):
         white = (
             jax.random.normal(kw, (ngrp, na, na), dtype=jnp.bfloat16
                               ).astype(jnp.float32)
-            * read_sigma[act, act][None]
+            * fa["read_sigma"][act, act][None]
             / jnp.sqrt(jnp.asarray(nvec))[:, None, None]
         )
         im_act = jnp.clip(jnp.round(src + white), 0, 65535)
-        return fillcore_act(
-            kf,
-            {
-                "im": im_act,
-                "read_sigma": read_sigma,
-                "resetnoise": resetnoise,
-                "dark_cube": dark_cube,
-                "amp33_med": amp33_med,
-                "amp33_std": amp33_std,
-                "c_pink": c_pink,
-                "u_pink": u_pink,
-                "m_pink": m_pink,
-                "ru_pink": ru_pink,
-            },
-        )
+        return fillcore_act(kf, dict(fa, im=im_act))
 
     def dark_as_u16(dark_cube):
         return jnp.clip(dark_cube, 0, 65535).astype(jnp.uint16)
@@ -589,11 +581,7 @@ def _run_layers(m, layers, layer_key, arrs0, base, im_u16):
                 orig = base["slope"]
                 src = im_u16
             new_u16, new_a33 = m.perturb_fill(
-                fold(lkey, 0), src, arrs0["read_sigma"],
-                arrs0["fill_resetnoise"], arrs0["dark_cube"],
-                arrs0["amp33_med"], arrs0["fill_amp33_std"],
-                arrs0["fill_c_pink"], arrs0["fill_u_pink"],
-                arrs0["fill_m_pink"], arrs0["fill_ru_pink"],
+                fold(lkey, 0), src, fill_call_arrs(arrs0)
             )
             del src
             arrs_r = dict(arrs0, data=new_u16)
@@ -690,18 +678,7 @@ def make_staged_exposure_runner(prep, pack, layers, config=None,
         res, _l1dq = simcore(ks[0], arrs["rate"], arrs)
         im_u16, amp33_u16 = fillcore_active(
             ks[1],
-            {
-                "im": res,
-                "read_sigma": arrs["read_sigma"],
-                "resetnoise": arrs["fill_resetnoise"],
-                "dark_cube": arrs["dark_cube"],
-                "amp33_med": arrs["amp33_med"],
-                "amp33_std": arrs["fill_amp33_std"],
-                "c_pink": arrs["fill_c_pink"],
-                "u_pink": arrs["fill_u_pink"],
-                "m_pink": arrs["fill_m_pink"],
-                "ru_pink": arrs["fill_ru_pink"],
-            },
+            dict(fill_call_arrs(arrs), im=res),
         )
         arrs0 = dict(arrs, data=im_u16)
         if m.do_amp33:
@@ -788,18 +765,7 @@ def make_full_exposure_core(prep, pack, layers, config=None):
         res, _l1dq = simcore(ks, arrs["rate"], arrs)
         im_u16, amp33_u16 = fillcore(
             kf,
-            {
-                "im": res,
-                "read_sigma": arrs["read_sigma"],
-                "resetnoise": arrs["fill_resetnoise"],
-                "dark_cube": arrs["dark_cube"],
-                "amp33_med": arrs["amp33_med"],
-                "amp33_std": arrs["fill_amp33_std"],
-                "c_pink": arrs["fill_c_pink"],
-                "u_pink": arrs["fill_u_pink"],
-                "m_pink": arrs["fill_m_pink"],
-                "ru_pink": arrs["fill_ru_pink"],
-            },
+            dict(fill_call_arrs(arrs), im=res),
         )
         arrs2 = dict(arrs, data=im_u16)
         if do_amp33:

@@ -205,27 +205,33 @@ def run_many_mesh(config1, config2, nrun, outfile=None, mesh=None,
         ks = m.split_keys(key)
         res, _l1dq = simcore(ks[0], arrs["rate"], arrs)
         im_u16, amp33_u16 = fillcore(
-            ks[1],
-            {
-                "im": res,
-                "read_sigma": arrs["read_sigma"],
-                "resetnoise": arrs["fill_resetnoise"],
-                "dark_cube": arrs["dark_cube"],
-                "amp33_med": arrs["amp33_med"],
-                "amp33_std": arrs["fill_amp33_std"],
-                "c_pink": arrs["fill_c_pink"],
-                "u_pink": arrs["fill_u_pink"],
-                "m_pink": arrs["fill_m_pink"],
-                "ru_pink": arrs["fill_ru_pink"],
-            },
+            ks[1], dict(noise_core.fill_call_arrs(arrs), im=res)
         )
         arrs0 = dict(arrs, data=im_u16)
         if m.do_amp33:
             arrs0["amp33"] = m.to_f32(amp33_u16)
         return post_v(core_v(arrs0), im_u16)
 
-    arr = noise_core.exposure_arrays(prep, pack, x.truth_rate)
-    batch = parallel.shard_batch(mesh, parallel.broadcast_batch(arr, ndev))
+    rate = np.asarray(x.truth_rate, np.float32)
+    if config1.get("PERSISTENCE"):
+        # truth_rate excludes the persistence charge rate (run_config
+        # threads it into make_l1_fullcal separately) — add it here so
+        # the batched realizations simulate the same chain as run_many
+        rate = rate + np.asarray(
+            fits_lite.open_fits(config1["PERSISTENCE"])[0].data, np.float32
+        )
+    arr = noise_core.exposure_arrays(prep, pack, rate)
+    # all lanes share one SCA's arrays: replicate with stride-0 views
+    # (broadcast_batch would materialize ndev host copies of the
+    # multi-GB cal bundle; each device still holds just its lane)
+    batch = parallel.shard_batch(
+        mesh,
+        {
+            k: np.broadcast_to(np.asarray(v)[None],
+                               (ndev,) + np.asarray(v).shape)
+            for k, v in arr.items()
+        },
+    )
 
     diffs = np.zeros((nrun, na, na), np.float32)
     images = np.zeros((nrun, na, na), np.float32)

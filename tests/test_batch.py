@@ -85,6 +85,11 @@ def test_batch_fpa_matches_serial(tmp_path):
                                       np.asarray(l1f["data"]))
         l2s = asdf_lite.open(d + f"/OUT_S/L2/sim_L2_{stem}.asdf")["roman"]
         l2f = asdf_lite.open(d + f"/OUT_F/L2/sim_L2_{stem}.asdf")["roman"]
+        # identical file STRUCTURE too: the schema-compat dummy fields
+        # (typefix) must exist in both paths' products
+        assert set(l2s.keys()) == set(l2f.keys())
+        assert "chisq" in l2f and "dumo" in l2f
+        assert "dummyfields" in l2f["meta"]
         np.testing.assert_array_equal(np.asarray(l2s["dq"]),
                                       np.asarray(l2f["dq"]))
         np.testing.assert_allclose(np.asarray(l2s["data"]),

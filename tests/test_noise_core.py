@@ -242,17 +242,13 @@ def test_machinery_shared_across_pink_amplitudes():
     a1["read_sigma"] = a2["read_sigma"] = np.zeros_like(
         np.asarray(a1["read_sigma"])
     )
-    args1 = [jnp.asarray(a1[k]) for k in
-             ("read_sigma", "fill_resetnoise", "dark_cube", "amp33_med",
-              "fill_amp33_std", "fill_c_pink", "fill_u_pink",
-              "fill_m_pink", "fill_ru_pink")]
-    args2 = [jnp.asarray(a2[k]) for k in
-             ("read_sigma", "fill_resetnoise", "dark_cube", "amp33_med",
-              "fill_amp33_std", "fill_c_pink", "fill_u_pink",
-              "fill_m_pink", "fill_ru_pink")]
+    fa1 = {k: jnp.asarray(v) for k, v in
+           noise_core.fill_call_arrs(a1).items()}
+    fa2 = {k: jnp.asarray(v) for k, v in
+           noise_core.fill_call_arrs(a2).items()}
     src = jnp.zeros((m1.ngrp, 64, 64), jnp.uint16)
-    u1, _ = m1.perturb_fill(key, src, *args1)
-    u2, _ = m1.perturb_fill(key, src, *args2)
+    u1, _ = m1.perturb_fill(key, src, fa1)
+    u2, _ = m1.perturb_fill(key, src, fa2)
     # same key: only the banding amplitude differs; the louder c_pink
     # must widen the active-region spread
     s1 = np.std(np.asarray(u1[:, 4:-4, 4:-4], np.float32))

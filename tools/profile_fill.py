@@ -48,18 +48,12 @@ def build(nside):
     ntr = (nframes + 1) // 2
 
     arr, prep, pack = benchlib.exposure_bundle(nside=nside)
-    fill_arrs = {
-        "im": np.zeros((ngrp, nside - 8, nside - 8), np.float32),
-        "read_sigma": arr["read_sigma"],
-        "resetnoise": arr["fill_resetnoise"],
-        "dark_cube": arr["dark_cube"],
-        "amp33_med": arr["amp33_med"],
-        "amp33_std": arr["fill_amp33_std"],
-        "c_pink": arr["fill_c_pink"],
-        "u_pink": arr["fill_u_pink"],
-        "m_pink": arr["fill_m_pink"],
-        "ru_pink": arr["fill_ru_pink"],
-    }
+    from romanimpreprocess_tpu.pipeline import noise_core
+
+    fill_arrs = dict(
+        noise_core.fill_call_arrs(arr),
+        im=np.zeros((ngrp, nside - 8, nside - 8), np.float32),
+    )
     fill_arrs = {k: jax.device_put(jnp.asarray(v)) for k, v in
                  fill_arrs.items()}
 

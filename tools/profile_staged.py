@@ -67,19 +67,7 @@ def build(nside):
         if depth == 0:
             return cksum(key, res)
         im_u16, amp33_u16 = fillcore_active(
-            ks[1],
-            {
-                "im": res,
-                "read_sigma": arrs["read_sigma"],
-                "resetnoise": arrs["fill_resetnoise"],
-                "dark_cube": arrs["dark_cube"],
-                "amp33_med": arrs["amp33_med"],
-                "amp33_std": arrs["fill_amp33_std"],
-                "c_pink": arrs["fill_c_pink"],
-                "u_pink": arrs["fill_u_pink"],
-                "m_pink": arrs["fill_m_pink"],
-                "ru_pink": arrs["fill_ru_pink"],
-            },
+            ks[1], dict(noise_core.fill_call_arrs(arrs), im=res)
         )
         if depth == 1:
             return cksum(key, im_u16)
@@ -110,11 +98,7 @@ def build(nside):
             if rsub == "darkref":
                 return cksum(key, orig)
             new_u16, _a33 = m.perturb_fill(
-                m.fold(lkey, 0), src, arrs0["read_sigma"],
-                arrs0["fill_resetnoise"], arrs0["dark_cube"],
-                arrs0["amp33_med"], arrs0["fill_amp33_std"],
-                arrs0["fill_c_pink"], arrs0["fill_u_pink"],
-                arrs0["fill_m_pink"], arrs0["fill_ru_pink"],
+                m.fold(lkey, 0), src, noise_core.fill_call_arrs(arrs0)
             )
             if rsub == "fill":
                 return cksum(key, new_u16)
