@@ -47,6 +47,8 @@ from .ramp import (
     _pairs,
     casertano_weights,
     first_saturated_group,
+    interior_mask,
+    propagate_pdq,
 )
 
 
@@ -220,13 +222,10 @@ def ramp_fit_likely(data, rdq, pdq, plan, gain, read_sigma, nborder=4):
     dvardt = jnp.clip(slope / gain_c, 0.0, None)
 
     # --- jump detection: pair significances with factored variances ---
-    interior = jnp.zeros(shape, bool).at[nb:-nb, nb:-nb].set(True)
-    flag_ok = eligible & interior
+    flag_ok = eligible & interior_mask(ny, nx, nb)
     thresh = plan.rejection_threshold
 
     group_hits = [None] * ngrp
-    chisq = jnp.zeros(shape, jnp.float32)
-    npair_active = jnp.zeros(shape, jnp.float32)
     best_s2 = jnp.zeros(shape, jnp.float32)
     best_boundary = jnp.full(shape, ngrp, jnp.int32)
     for p, (i, di) in enumerate(plan.pairs):
@@ -241,8 +240,6 @@ def ramp_fit_likely(data, rdq, pdq, plan, gain, read_sigma, nborder=4):
             np.tile(plan.pair_active[:, p].astype(np.float32), nu),
             flat_idx, shape,
         ) > 0.5
-        chisq = chisq + jnp.where(act_p, s2, 0.0)
-        npair_active = npair_active + act_p
         # Two-sided rejection: the likelihood fitter's jump statistic is
         # the chi^2 improvement from masking a pair difference (Brandt
         # 2024, arXiv:2404.01326), which is quadratic in ds and so flags
@@ -288,10 +285,39 @@ def ramp_fit_likely(data, rdq, pdq, plan, gain, read_sigma, nborder=4):
     K_sel = jnp.where(use_refit[None], K1, K_sel)
     qP = jnp.where(use_refit, qP1, qP)
     qR = jnp.where(use_refit, qR1, qR)
+    flat_idx = jnp.where(use_refit, flat1, flat_idx)
     dvardt = jnp.clip(slope / gain_c, 0.0, None)
+    # a jump too early for ANY truncation variant (m_eff < 3+start)
+    # leaves no clean prefix: the full-ramp slope stays contaminated.
+    # The reference likelihood fitter masks the jump and refits the
+    # remaining segment; a prefix fitter cannot, so the honest output
+    # is DO_NOT_USE (analog of the classic fitter's fast-saturation
+    # DNU, reference fitting.py:349).
+    unusable_jump = (jump_grp < ngrp) & ~refit_layer
 
     slope_err_poisson = jnp.sqrt(jnp.clip(qP * dvardt, 0.0, None))
     slope_err_read = read_sigma * jnp.sqrt(qR)
+
+    # --- chisq of the FINAL fit (post-refit slope/weights/active set;
+    # the truncated variant's pair set excludes the jump pair, so refit
+    # pixels report the clean prefix's goodness-of-fit, consistent with
+    # dumo — romancal-likely's chisq also describes the final fit) ---
+    chisq = jnp.zeros(shape, jnp.float32)
+    npair_active = jnp.zeros(shape, jnp.float32)
+    for p, (i, di) in enumerate(plan.pairs):
+        ds = (data[i + di] - data[i]) * plan.inv_dtbar[p] - slope
+        dotP = jnp.einsum("tyx,t->yx", K_sel, jnp.asarray(plan.vP[p]))
+        dotR = jnp.einsum("tyx,t->yx", K_sel, jnp.asarray(plan.vR[p]))
+        varP = plan.c1P[p] - 2.0 * dotP + qP
+        varR = plan.c1R[p] - 2.0 * dotR + qR
+        var = jnp.clip(varP * dvardt + varR * sig2read, 1e-30, None)
+        s2 = (ds * ds) / var
+        act_p = _flat_sel(
+            np.tile(plan.pair_active[:, p].astype(np.float32), nu),
+            flat_idx, shape,
+        ) > 0.5
+        chisq = chisq + jnp.where(act_p, s2, 0.0)
+        npair_active = npair_active + act_p
 
     # --- diagnostics ---
     # dumo: "dumb" two-point slope (last clean resultant - first) over
@@ -309,20 +335,12 @@ def ramp_fit_likely(data, rdq, pdq, plan, gain, read_sigma, nborder=4):
     dumo = (last - data[start]) * _flat_sel(inv_dt, end_idx, shape)
     chisq = chisq / jnp.maximum(npair_active, 1.0)
 
-    # --- pixel DQ propagation (same rules as ramp.ramp_fit) ---
-    dnu_flag = jnp.uint32(pixel.DO_NOT_USE)
-    sat = jnp.uint32(pixel.SATURATED)
-    not_sat_grp = (rdq_out & sat) == 0
-    pdq2 = jnp.bitwise_or.reduce(
-        jnp.where(not_sat_grp, rdq_out, jnp.uint32(0)), axis=0
-    ) & ~dnu_flag
-    all_dnu = jnp.bitwise_and.reduce((rdq_out & dnu_flag) != 0, axis=0)
-    pdq2 = pdq2 | jnp.where(all_dnu, dnu_flag, jnp.uint32(0))
-    pdq2 = pdq2 | jnp.where(
-        (rdq_out[1 + start] & sat) != 0, dnu_flag, jnp.uint32(0)
-    )
-    pdq2 = pdq2 | jnp.bitwise_or.reduce(rdq_out & sat, axis=0)
+    # --- pixel DQ propagation (shared rules, ramp.propagate_pdq) ---
+    pdq_out = propagate_pdq(rdq_out, pdq, start)
     not_ref = (pdq & jnp.uint32(pixel.REFERENCE_PIXEL)) == 0
-    pdq_out = pdq | jnp.where(not_ref, pdq2, jnp.uint32(0))
+    pdq_out = pdq_out | jnp.where(
+        unusable_jump & not_ref, jnp.uint32(pixel.DO_NOT_USE),
+        jnp.uint32(0),
+    )
 
     return slope, slope_err_read, slope_err_poisson, rdq_out, pdq_out, dumo, chisq

@@ -249,6 +249,36 @@ def first_saturated_group(rdq):
     return jnp.where(any_sat, idx, ngrp).astype(jnp.int32)
 
 
+def interior_mask(ny, nx, nb):
+    """Boolean (ny, nx) mask of the non-border interior.  Handles
+    ``nb == 0`` (an ``at[0:-0, 0:-0]`` slice would be EMPTY and silently
+    disable jump detection everywhere)."""
+    mask = jnp.zeros((ny, nx), dtype=bool)
+    return mask.at[nb : ny - nb, nb : nx - nb].set(True)
+
+
+def propagate_pdq(rdq_out, pdq, start):
+    """Group-DQ -> pixel-DQ propagation (reference ``fitting.py:339-353``):
+    OR of unsaturated groups' flags; DO_NOT_USE only if ALL groups carry
+    it or the first used group is already saturated; SATURATED always
+    propagates; reference pixels keep their DQ untouched.  Shared by
+    both ramp fitters so the bit-exact rules cannot drift apart."""
+    dnu = jnp.uint32(pixel.DO_NOT_USE)
+    sat = jnp.uint32(pixel.SATURATED)
+    not_sat_grp = (rdq_out & sat) == 0
+    pdq2 = jnp.bitwise_or.reduce(
+        jnp.where(not_sat_grp, rdq_out, jnp.uint32(0)), axis=0
+    ) & ~dnu
+    all_dnu = jnp.bitwise_and.reduce((rdq_out & dnu) != 0, axis=0)
+    pdq2 = pdq2 | jnp.where(all_dnu, dnu, jnp.uint32(0))
+    pdq2 = pdq2 | jnp.where(
+        (rdq_out[1 + start] & sat) != 0, dnu, jnp.uint32(0)
+    )
+    pdq2 = pdq2 | jnp.bitwise_or.reduce(rdq_out & sat, axis=0)
+    not_ref = (pdq & jnp.uint32(pixel.REFERENCE_PIXEL)) == 0
+    return pdq | jnp.where(not_ref, pdq2, jnp.uint32(0))
+
+
 def ramp_fit(data, rdq, pdq, plan, gain, read_sigma, nborder=4):
     """Fit slopes, detect jumps, and propagate flags — one fused pass.
 
@@ -323,9 +353,7 @@ def ramp_fit(data, rdq, pdq, plan, gain, read_sigma, nborder=4):
     sthresh = plan.sthresh_a + (plan.sthresh_b - plan.sthresh_a) * x
 
     # --- per-pair significance + flagging, fused elementwise ---
-    interior = jnp.zeros((ny, nx), dtype=bool)
-    interior = interior.at[nb : ny - nb, nb : nx - nb].set(True)
-    flag_ok = eligible & interior
+    flag_ok = eligible & interior_mask(ny, nx, nb)
 
     group_hits = [None] * ngrp  # per-group boolean hit maps (no cube copies)
     for p, (i, di) in enumerate(plan.pairs):
@@ -349,20 +377,6 @@ def ramp_fit(data, rdq, pdq, plan, gain, read_sigma, nborder=4):
     )
     rdq_out = rdq | jump_bits
 
-    # --- flag propagation to pixel DQ (reference fitting.py:339-353) ---
-    dnu = jnp.uint32(pixel.DO_NOT_USE)
-    sat = jnp.uint32(pixel.SATURATED)
-    not_sat_grp = (rdq_out & sat) == 0
-    pdq2 = jnp.bitwise_or.reduce(
-        jnp.where(not_sat_grp, rdq_out, jnp.uint32(0)), axis=0
-    ) & ~dnu
-    all_dnu = jnp.bitwise_and.reduce((rdq_out & dnu) != 0, axis=0)
-    pdq2 = pdq2 | jnp.where(all_dnu, dnu, jnp.uint32(0))
-    pdq2 = pdq2 | jnp.where(
-        (rdq_out[1 + start] & sat) != 0, dnu, jnp.uint32(0)
-    )
-    pdq2 = pdq2 | jnp.bitwise_or.reduce(rdq_out & sat, axis=0)
-    not_ref = (pdq & jnp.uint32(pixel.REFERENCE_PIXEL)) == 0
-    pdq_out = pdq | jnp.where(not_ref, pdq2, jnp.uint32(0))
+    pdq_out = propagate_pdq(rdq_out, pdq, start)
 
     return slope, slope_err_read, slope_err_poisson, rdq_out, pdq_out

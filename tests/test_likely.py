@@ -127,3 +127,66 @@ def test_likely_adaptive_weights_beat_fixed_at_high_flux():
     std_l = np.std(np.stack(res_l), axis=0).mean()
     # adaptive should be at least as good (allow 3% MC slack)
     assert std_l < std_c * 1.03, (std_l, std_c)
+
+
+def test_likely_nborder0_detects_jumps():
+    """nborder=0 must not silently disable jump detection (an
+    at[0:-0, 0:-0] interior slice is EMPTY; interior_mask handles it)."""
+    meta, data, rdq, pdq, gain, read_sigma, rate, jumps = _make_case()
+    plan_l = likely.build_likely_plan(meta, True, rejection_threshold=5.0)
+    out = likely.ramp_fit_likely(
+        jnp.array(data), jnp.array(rdq), jnp.array(pdq), plan_l,
+        jnp.array(gain), jnp.array(read_sigma), nborder=0,
+    )
+    _, _, _, rdq_l, pdq_l, _, _ = out
+    flagged = (np.asarray(pdq_l) & pixel.JUMP_DET) != 0
+    hit = sum(flagged[y, x] for (y, x) in jumps)
+    assert hit > len(jumps) * 0.6, hit
+
+
+def test_likely_early_jump_flags_do_not_use():
+    """A jump too early for any truncation variant leaves no clean
+    prefix to refit; the contaminated full-ramp slope must carry
+    DO_NOT_USE (the prefix fitter's analog of romancal-likely's
+    mask-and-refit)."""
+    meta, data, rdq, pdq, gain, read_sigma, rate, jumps = _make_case()
+    ngrp = meta["ngrp"]
+    # inject a jump between groups 1 and 2: the clean prefix has only
+    # 2 usable groups (< 3+start), so no refit variant exists
+    y0, x0 = 20, 20
+    data = data.copy()
+    data[:, y0, x0] = 5.0 * meta["tbar"].astype(np.float32)
+    data[2:, y0, x0] += 30000.0
+    plan_l = likely.build_likely_plan(meta, True, rejection_threshold=5.0)
+    out = likely.ramp_fit_likely(
+        jnp.array(data), jnp.array(rdq), jnp.array(pdq), plan_l,
+        jnp.array(gain), jnp.array(read_sigma), nborder=1,
+    )
+    _, _, _, rdq_l, pdq_l, _, _ = out
+    p = int(np.asarray(pdq_l)[y0, x0])
+    assert p & pixel.JUMP_DET
+    assert p & pixel.DO_NOT_USE
+
+
+def test_likely_chisq_describes_final_fit():
+    """chisq must be the goodness-of-fit of the FINAL (post-refit)
+    slope: a pixel with a clean prefix and one late jump reports
+    chisq ~ 1, not the contaminated full-ramp residuals."""
+    meta, data, rdq, pdq, gain, read_sigma, rate, jumps = _make_case()
+    ngrp = meta["ngrp"]
+    y0, x0 = 30, 30
+    data = data.copy()
+    data[:, y0, x0] = 5.0 * meta["tbar"].astype(np.float32)
+    data[ngrp - 1:, y0, x0] += 30000.0  # jump at the last group
+    plan_l = likely.build_likely_plan(meta, True, rejection_threshold=5.0)
+    out = likely.ramp_fit_likely(
+        jnp.array(data), jnp.array(rdq), jnp.array(pdq), plan_l,
+        jnp.array(gain), jnp.array(read_sigma), nborder=1,
+    )
+    s_l, _, _, rdq_l, pdq_l, dumo, chisq = out
+    assert (np.asarray(pdq_l)[y0, x0] & pixel.JUMP_DET) != 0
+    # refit slope recovers the clean 5 DN/s ramp, and chisq reflects
+    # the clean prefix (the jump pair is outside the truncated
+    # variant's active set)
+    assert abs(float(np.asarray(s_l)[y0, x0]) - 5.0) < 2.0
+    assert float(np.asarray(chisq)[y0, x0]) < 30.0
