@@ -190,8 +190,11 @@ def ramp_fit_likely(data, rdq, pdq, plan, gain, read_sigma, nborder=4):
 
     # --- initial slope: central-u full-ramp weights ---
     K0 = jnp.asarray(plan.W[nu // 2])  # (nvar, ngrp)
+    # precision='highest': default TPU matmul precision rounds the
+    # operands to bfloat16 on the MXU (see ramp.ramp_fit)
     slope_v = jnp.einsum(
-        "vt,tyx->vyx", K0, diffs, preferred_element_type=jnp.float32
+        "vt,tyx->vyx", K0, diffs, preferred_element_type=jnp.float32,
+        precision="highest",
     )
     # variant selection via a where-chain (a take_along_axis here is a
     # 16M-lane gather on TPU — the codebase-wide rule is select-chains
@@ -209,7 +212,8 @@ def ramp_fit_likely(data, rdq, pdq, plan, gain, read_sigma, nborder=4):
         flat_idx = u_bin_of(slope_for_u) * nvar + v_idx
         K_sel = _select_K(plan, flat_idx, shape)  # (ngrp, ny, nx)
         s = jnp.einsum(
-            "tyx,tyx->yx", K_sel, diffs, preferred_element_type=jnp.float32
+            "tyx,tyx->yx", K_sel, diffs,
+            preferred_element_type=jnp.float32, precision="highest",
         )
         qP = _flat_sel(plan.qP.ravel(), flat_idx, shape)
         qR = _flat_sel(plan.qR.ravel(), flat_idx, shape)

@@ -330,7 +330,13 @@ def ramp_fit(data, rdq, pdq, plan, gain, read_sigma, nborder=4):
     # --- all candidate slopes: one matmul over the pixel axis (MXU) ---
     Wd = jnp.asarray(plan.W)  # (nvar, ngrp)
     diffs = (data - data[1][None]).reshape(ngrp, ny * nx)
-    slopes_all = jnp.dot(Wd, diffs, preferred_element_type=jnp.float32)
+    # precision='highest': with the default TPU matmul precision the
+    # MXU rounds BOTH operands to bfloat16 (preferred_element_type
+    # only widens the accumulator), costing ~0.2% on science slopes —
+    # 1000x the parity budget.  The contraction depth is ngrp (~6),
+    # so the extra passes are free.
+    slopes_all = jnp.dot(Wd, diffs, preferred_element_type=jnp.float32,
+                         precision="highest")
     slopes_all = slopes_all.reshape(nvar, ny, nx)
     slope = slopes_all[nvar - 1]
     for v in range(nvar - 1):

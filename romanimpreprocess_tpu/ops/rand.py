@@ -60,6 +60,9 @@ SMALL_STEPS_LO = 18
 MID_LAM_MAX = 32.0
 MID_STEPS = 76
 PTRS_ROUNDS = 6
+#: above this lam the PTRS float32 acceptance test loses to its own
+#: term cancellation and the skew-corrected normal takes over
+PTRS_NORMAL_LAM = 3.0e4
 
 _HALF_LOG_2PI = 0.9189385332046727
 _LOG_FACT = (0.0, 0.0, 0.6931471805599453, 1.791759469228055,
@@ -136,10 +139,20 @@ def _poisson_ptrs(key, lam, shape):
         accept = fast | (~bad & log_acc)
         out = jnp.where(~filled & accept, cand, out)
         filled = filled | accept
-    # moment-matched fallback for unfilled lanes (< 1e-7 of samples)
+    # Gaussian branch, two uses:
+    # (a) moment-matched fallback for unfilled lanes (< 1e-7 of samples);
+    # (b) the WHOLE draw for lam > PTRS_NORMAL_LAM — the PTRS acceptance
+    #     test cancels lam-scale terms (cand*log_lam - lam - lgamma) with
+    #     float32 rounding ~lam*2^-24, which measurably distorts the
+    #     distribution above lam ~ 1e5 (observed +3% variance at 1e6).
+    #     The one-term Cornish-Fisher skew correction (z^2-1)/6 keeps the
+    #     third moment, so the normal branch's error ~O(1/lam) is far
+    #     below the f32 cancellation it replaces.
     z = jax.random.normal(jax.random.fold_in(key, PTRS_ROUNDS), shape)
-    fallback = jnp.maximum(jnp.round(lam + jnp.sqrt(lam) * z), 0.0)
-    return jnp.where(filled, out, fallback)
+    gauss = jnp.maximum(
+        jnp.round(lam + jnp.sqrt(lam) * z + (z * z - 1.0) / 6.0), 0.0
+    )
+    return jnp.where(filled & (lam <= PTRS_NORMAL_LAM), out, gauss)
 
 
 GAMMA_ROUNDS = 5
@@ -289,7 +302,9 @@ def poisson(key, lam, shape=None):
     """Poisson deviates, float32 counts.
 
     ``lam`` broadcasts to ``shape``; exact for lam <= 10, PTRS-exact
-    above (with a vanishing moment-matched fallback).  Large draws are
+    up to ``PTRS_NORMAL_LAM`` (with a vanishing moment-matched
+    fallback), skew-corrected normal above it (where the float32 PTRS
+    acceptance test would distort the distribution).  Large draws are
     chunked over the leading axis (distinct per-chunk keys), bounding
     peak HBM at ~1 output buffer + 1 chunk of intermediates.  When
     ``lam`` is shared across the leading (frame) axis — the sim's

@@ -535,3 +535,31 @@ def test_fill_banding_channel_structure():
     r02 = np.mean(c02) / np.mean(v)
     assert abs(r01 - share) < 0.05, (r01, share)
     assert abs(r02 - share) < 0.05, (r02, share)
+
+
+def test_custom_poisson_large_lam_moments():
+    """Above PTRS_NORMAL_LAM the sampler switches to the skew-corrected
+    normal: the float32 PTRS acceptance test cancels lam-scale terms
+    and measurably distorts the distribution (observed +3% variance at
+    lam=1e6 before the switch).  Gate mean/var/skew at production-bright
+    lam values."""
+    import jax
+
+    from romanimpreprocess_tpu.ops import rand
+
+    n = 200_000
+    for lam in (1.0e5, 1.0e6):
+        key = rand.sim_key(int(lam) % 977)
+        x = np.asarray(
+            jax.jit(rand.poisson, static_argnums=2)(
+                key, jnp.full((n,), lam, jnp.float32), (n,)
+            ),
+            np.float64,
+        )
+        m, v = x.mean(), x.var()
+        skew = ((x - m) ** 3).mean() / v**1.5
+        # sampling errors at n=2e5: sigma_mean ~ sqrt(lam/n),
+        # sigma_var/var ~ sqrt(2/n) ~ 0.3%
+        assert abs(m - lam) < 5 * np.sqrt(lam / n), (lam, m)
+        assert abs(v / lam - 1.0) < 0.02, (lam, v / lam)
+        assert abs(skew - 1.0 / np.sqrt(lam)) < 0.02, (lam, skew)
