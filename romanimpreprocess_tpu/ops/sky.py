@@ -207,20 +207,18 @@ def bisect_quantiles(x, qs, iters=27):
     x : array; qs : static tuple/list of fractions in (0, 1).
     Returns a (len(qs),) array.
     """
-    import jax.numpy as _jnp
-
     flat = x.ravel()
     n = flat.shape[0]
-    targets = _jnp.asarray([float(q) * n for q in qs], _jnp.float32)
-    lo = _jnp.full((len(qs),), _jnp.min(flat))
-    hi = _jnp.full((len(qs),), _jnp.max(flat))
+    targets = jnp.asarray([float(q) * n for q in qs], jnp.float32)
+    lo = jnp.full((len(qs),), jnp.min(flat))
+    hi = jnp.full((len(qs),), jnp.max(flat))
     for _ in range(iters):
         mid = 0.5 * (lo + hi)
         # count of elements <= mid, for all quantiles in one pass
         cnt = (flat[None, :] <= mid[:, None]).sum(axis=1).astype(
-            _jnp.float32
+            jnp.float32
         )
         too_low = cnt < targets
-        lo = _jnp.where(too_low, mid, lo)
-        hi = _jnp.where(too_low, hi, mid)
+        lo = jnp.where(too_low, mid, lo)
+        hi = jnp.where(too_low, hi, mid)
     return 0.5 * (lo + hi)

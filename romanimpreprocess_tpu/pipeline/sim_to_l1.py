@@ -119,7 +119,9 @@ def _accumulate_resultants(key, lam_per_read, read_pattern, crparam,
         (uniform frame time assumed within the MA table).
     contract : 'dot' (one XLA dot_general), 'pallas'
         (ops.contract_pallas streaming kernel).
-    Returns (resultants_e (ngrp, na, na), crhits (na, na) int32).
+    Returns (resultants_e (ngrp, na, na), crhits (ngrp, na, na) int32 —
+    hits AFFECTING each resultant, i.e. the hit's group and later ones,
+    romanisim's "flag from the jump resultant onward" semantics).
     """
     lastread = read_pattern[-1][-1]
     nreads = lastread + 1
@@ -142,7 +144,7 @@ def _accumulate_resultants(key, lam_per_read, read_pattern, crparam,
     do_cr = crparam is not None
     k_poi, k_hit, k_q, k_dir, k_fr = jax.random.split(key, 5)
 
-    crh = jnp.zeros((na, na), jnp.int32)
+    crh = jnp.zeros((ngrp, na, na), jnp.int32)
     if do_cr:
         # CRs as a thinned Poisson point process: hits are ~3e-7 of the
         # pixel-read sites, so instead of dense per-read hit/charge maps
@@ -229,7 +231,14 @@ def _accumulate_resultants(key, lam_per_read, read_pattern, crparam,
         res = jnp.stack(
             [res[j].at[ev_y, ev_x].add(wq[j]) for j in range(ngrp)]
         )
-        crh = crh.at[ev_y, ev_x].add(keep.astype(jnp.int32))
+        # T[j, r_e] > 0 exactly when the hit at read r_e changes
+        # resultant j (its group or a later one) — per-group hit maps
+        # give romanisim's from-the-jump-onward flagging, not a
+        # whole-ramp flag
+        hitw = ((w > 0) & keep[None]).astype(jnp.int32)
+        crh = jnp.stack(
+            [crh[j].at[ev_y, ev_x].add(hitw[j]) for j in range(ngrp)]
+        )
     return res, crh
 
 
@@ -303,10 +312,18 @@ def _l1_core_factory(read_pattern, ft, has_biascorr, has_ipc, do_cr,
             resultants = resultants + arrs["biascorr"]
         resultants = jnp.round(resultants)
 
-        # dq: CR-affected pixels flagged JUMP_DET on every group
+        # dq: JUMP_DET on the resultants a CR affects (its group and
+        # later), plus the linearity cal file's per-pixel dq copied
+        # into every group (reference IL.set_dq,
+        # ``ipc_linearity.py:438-459``)
         dq = jnp.where(
-            (crhits > 0)[None], jnp.uint32(gdq.JUMP_DET), jnp.uint32(0)
-        ) * jnp.ones((ngrp, 1, 1), jnp.uint32)
+            crhits > 0, jnp.uint32(gdq.JUMP_DET), jnp.uint32(0)
+        )
+        nside_l = arrs["lin_dq"].shape[0]
+        nb_l = (nside_l - na) // 2
+        dq = dq | arrs["lin_dq"][
+            nb_l : nside_l - nb_l, nb_l : nside_l - nb_l
+        ].astype(jnp.uint32)[None]
         return resultants, dq
 
     _SIM_CORE_CACHE[key_t] = core
@@ -352,17 +369,15 @@ def make_l1_fullcal(key, counts_rate_e, read_pattern, pack, frame_time=None,
         "lin_smax": pack.lin_smax,
         "lin_sref": pack.lin_sref,
         "lin_dq": pack.lin_dq,
-        "ipc_kernel": (
-            pack.ipc_kernel if pack.ipc_kernel is not None
-            else np.zeros((3, 3, na, na), np.float32)
-        ),
-        "biascorr": (
-            pack.biascorr[pack.biascorr.shape[0] - ngrp :]
-            if pack.biascorr is not None
-            else np.zeros((ngrp, na, na), np.float32)
-        ),
         "biascorr_t0": np.float32(pack.biascorr_t0),
     }
+    # only stage what the traced core reads (gated by has_ipc /
+    # has_biascorr in the factory key) — full-frame zero dummies would
+    # memset ~1 GB of host RAM per call for nothing
+    if pack.ipc_kernel is not None:
+        arrs["ipc_kernel"] = pack.ipc_kernel
+    if pack.biascorr is not None:
+        arrs["biascorr"] = pack.biascorr[pack.biascorr.shape[0] - ngrp:]
     if ipc_pallas and pack.ipc_kernel is not None:
         arrs["ipc_kernel_padded"] = ipc_pallas_mod.kernel_planes_padded(
             pack.ipc_kernel, th=32
@@ -489,21 +504,19 @@ def _fill_core_factory(nvec, nside, channelwidth, nborder, fill_in_banding,
             frames = frames.reshape(ngrp, per_grp, nside, channelwidth)
             common = frames[:, 0] * arrs["c_pink"]
             uniq = frames[:, 1 : 1 + nch] * arrs["u_pink"]  # (ngrp, nch, ns, cw)
-            # odd channels are read in the reverse x direction.  Only
-            # the SHARED (common-mode) component's orientation is
-            # observable: each unique frame is i.i.d. stationary
-            # Gaussian noise, so reversing it is a distributional
-            # no-op.  Reversing the (ngrp, ns, cw) common frame and
-            # selecting per channel (instead of reversing the full
-            # (ngrp, nch, ns, cw) band) keeps the inter-channel
-            # correlation structure of the reference
-            # (``sim_to_isim.py:298-303``) while saving a ~0.4 GB
-            # reversed-band materialization per fill at 4096^2.
+            # odd channels are read in the reverse x direction: the
+            # WHOLE per-channel band (unique + common) is mirrored, as
+            # in the reference (``sim_to_isim.py:384-386``).  A pink
+            # frame is a row-major reshape of one contiguous 1/f
+            # stream, so its covariance is R(|cw*dr + dc|) — flipping
+            # changes the cross-row orientation to R(|cw*dr - dc|),
+            # which for 1/f noise is NOT a distributional no-op (an
+            # earlier round flipped only the common frame; that left
+            # odd channels' unique-noise covariance un-mirrored).
             flip = jnp.arange(nch) % 2 == 1
-            band = uniq + jnp.where(
-                flip[None, :, None, None],
-                common[:, None, :, ::-1],
-                common[:, None],
+            band = uniq + common[:, None]
+            band = jnp.where(
+                flip[None, :, None, None], band[..., ::-1], band
             )
             band = band / jnp.sqrt(jnp.asarray(nvec_np))[:, None, None, None]
             band = band.transpose(0, 2, 1, 3).reshape(ngrp, nside, nside)
@@ -595,7 +608,9 @@ class Image2D:
         na = nside - 2 * nb
         act = slice(nb, nside - nb)
         key = rand.sim_key(seed)
-        k_counts, k_l1, k_fill = jax.random.split(key, 3)
+        # 3-way split kept for stream stability (slot 0 was an earlier
+        # counts stream, now folded into the L1 core's own splits)
+        _, k_l1, k_fill = jax.random.split(key, 3)
 
         # cal preparation (sim_to_isim.py:615-662)
         gain_act = pack.gain[act, act]
@@ -710,6 +725,12 @@ class Image2D:
             }
         )
         self.truth_rate = rate_e  # for validation
+        # kept for make_ideal_l2: the reference's af2 is built from the
+        # PRE-fill float cube (``sim_to_isim.py:745-754``) — before
+        # banding noise, uint16 rounding, and EXTRACT_REF reshuffling
+        # (which offset-shifts the DN the linearity inversion sees)
+        self._resultants_prefill = np.asarray(resultants, np.float32)
+        self._read_pattern_sim = [list(g) for g in use_read_pattern]
 
     def L1_write_to(self, filename):
         if hasattr(self, "af"):
@@ -729,22 +750,42 @@ class Image2D:
         nb = pars.nborder
         nside = pack.nside
         act = slice(nb, nside - nb)
-        read_pattern = [list(g) for g in l1["meta"]["exposure"]["read_pattern"]]
         ft = float(l1["meta"]["exposure"]["frame_time"])
+        if hasattr(self, "_resultants_prefill"):
+            # simulated in this process: use the PRE-fill float cube
+            # (reference af2 semantics) with the full sim read pattern
+            # — the file cube has banding + uint16 rounding and, under
+            # EXTRACT_REF, per-pixel offset-shifted DN that would bias
+            # the nonlinear inversion
+            cube = jnp.asarray(self._resultants_prefill)
+            read_pattern = self._read_pattern_sim
+            lin = linearity.LinearityData(
+                jnp.asarray(pack.lin_coefs[:, act, act]),
+                jnp.asarray(pack.lin_smin[act, act]),
+                jnp.asarray(pack.lin_smax[act, act]),
+                jnp.asarray(pack.lin_sref[act, act]),
+                jnp.asarray(pack.lin_dq[act, act]),
+            )
+            out_act = slice(None)  # cube already active-region
+        else:
+            cube = jnp.asarray(np.asarray(l1["data"], np.float32))
+            read_pattern = [
+                list(g) for g in l1["meta"]["exposure"]["read_pattern"]
+            ]
+            lin = linearity.LinearityData(
+                jnp.asarray(pack.lin_coefs), jnp.asarray(pack.lin_smin),
+                jnp.asarray(pack.lin_smax), jnp.asarray(pack.lin_sref),
+                jnp.asarray(pack.lin_dq),
+            )
+            out_act = act
         meta = ramp.ma_table_meta(read_pattern, ft)
         exclude_first = read_pattern[0] == [0]
-        lin = linearity.LinearityData(
-            jnp.asarray(pack.lin_coefs), jnp.asarray(pack.lin_smin),
-            jnp.asarray(pack.lin_smax), jnp.asarray(pack.lin_sref),
-            jnp.asarray(pack.lin_dq),
-        )
         lin_cube, _ = _lin_cube_j(
-            jnp.asarray(np.asarray(l1["data"], np.float32)), lin,
-            do_not_flag_first=exclude_first,
+            cube, lin, do_not_flag_first=exclude_first,
         )
         K = ramp.casertano_weights(u, meta, exclude_first)
         slope = np.einsum("t,tij->ij", K, np.asarray(lin_cube))
-        slope = slope[act, act] - pack.dark_slope[act, act]
+        slope = slope[out_act, out_act] - pack.dark_slope[act, act]
         slope = slope / np.clip(pack.flat[act, act], 0.1, 10.0)
         self.af2 = asdf_lite.AsdfFile(
             {
