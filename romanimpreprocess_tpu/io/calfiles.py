@@ -17,6 +17,8 @@ optional dark_decay (decay_table per detector).
 from dataclasses import dataclass, field
 from typing import Optional
 
+import threading
+
 import numpy as np
 
 from . import asdf_lite
@@ -148,6 +150,7 @@ def load_caldir(caldir):
 
 
 _PACK_CACHE = {}
+_PACK_CACHE_LOCK = threading.Lock()
 
 
 def load_caldir_cached(caldir, max_entries=20):
@@ -158,11 +161,18 @@ def load_caldir_cached(caldir, max_entries=20):
     once per process.
     """
     key = tuple(sorted((k, str(v)) for k, v in caldir.items()))
-    if key not in _PACK_CACHE:
-        if len(_PACK_CACHE) >= max_entries:
-            _PACK_CACHE.pop(next(iter(_PACK_CACHE)))
-        _PACK_CACHE[key] = load_caldir(caldir)
-    return _PACK_CACHE[key]
+    hit = _PACK_CACHE.get(key)
+    if hit is not None:
+        return hit
+    pack = load_caldir(caldir)
+    # calibrate_fpa's thread pool calls this concurrently: evict and
+    # insert under a lock, return the local value (a concurrent pop
+    # during next(iter(...)) raises RuntimeError)
+    with _PACK_CACHE_LOCK:
+        while len(_PACK_CACHE) >= max_entries:
+            _PACK_CACHE.pop(next(iter(_PACK_CACHE)), None)
+        _PACK_CACHE[key] = pack
+    return pack
 
 
 def amp33_optimal_slope(pack):

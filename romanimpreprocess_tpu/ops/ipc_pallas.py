@@ -43,7 +43,10 @@ def _pad_geom(na, th):
     return rows_out, width, n_tiles, rows_in
 
 
+import threading
+
 _PAD_CACHE = {}
+_PAD_CACHE_LOCK = threading.Lock()
 
 
 def kernel_planes_padded(kernel, th=32):
@@ -69,12 +72,13 @@ def kernel_planes_padded(kernel, th=32):
         kernel, np.float32
     ).reshape(9, na, na)
     # each 4096^2 slab is ~0.6 GB host RAM — hold at most two, evicting
-    # oldest (insertion-ordered dict); return the local value so a
-    # concurrent eviction from calibrate_fpa's thread pool can't race
-    # an insert-then-re-read
-    while len(_PAD_CACHE) > 1:
-        _PAD_CACHE.pop(next(iter(_PAD_CACHE)), None)
-    _PAD_CACHE[ck] = (kp, kernel)  # strong ref guards the id key
+    # oldest under a lock (calibrate_fpa's thread pool calls this
+    # concurrently; a pop during next(iter(...)) raises RuntimeError);
+    # return the local value so eviction can't race an insert-re-read
+    with _PAD_CACHE_LOCK:
+        while len(_PAD_CACHE) > 1:
+            _PAD_CACHE.pop(next(iter(_PAD_CACHE)), None)
+        _PAD_CACHE[ck] = (kp, kernel)  # strong ref guards the id key
     return kp
 
 

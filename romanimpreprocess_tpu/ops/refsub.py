@@ -23,6 +23,7 @@ def ref_subtraction_row(image, nside=4096, nborder=4, channelwidth=128,
     ``slope * (ref_median - median(ref_median))`` is subtracted from
     each row.  Reference: ``reference_subtraction.py:77-125``.
     """
+    image = jnp.asarray(image, jnp.float32)  # raw L1 frames are uint16
     nb = nborder
     sci_med = jnp.median(image[:, nb : nside - nb], axis=1)
     if use_ref_channel:
@@ -57,6 +58,9 @@ def ref_subtraction_channel(image, nside=4096, nborder=4, channelwidth=128,
     ``reference_subtraction.py:16-74`` (the 2-point "least squares" there
     is the exact interpolating line).
     """
+    # float up front: an integer input would otherwise wrap negative
+    # corrected values through the .at[].set dtype cast below
+    image = jnp.asarray(image, jnp.float32)
     ny, nxa = image.shape
     nch = nxa // channelwidth
     if not use_ref_channel:

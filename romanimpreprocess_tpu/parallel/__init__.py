@@ -62,6 +62,10 @@ def make_fpa_calibrator(plan, cfg, geom, mesh):
     must re-dispatch the SAME jitted program, not re-trace — on the
     TPU relay a fresh 4096^2 vmapped-core compile costs minutes.
     """
+    # the cal core never reads the sim/noise-only contraction backend;
+    # strip it so configs differing only in CONTRACT_BACKEND share one
+    # compiled batched core (mirrors l1_to_l2._get_core)
+    cfg = {k: v for k, v in cfg.items() if k != "contract"}
     ck = (l1_to_l2.core_key(plan, cfg, geom), mesh)
     hit = _FPA_CALIBRATOR_CACHE.get(ck)
     if hit is not None:
@@ -116,7 +120,9 @@ def calibrate_fpa(configs, mesh=None, write=True, max_workers=8,
     t0 = time.perf_counter()
 
     def load_one(config):
-        pack = calfiles.load_caldir(config["CALDIR"])
+        # cached loader: stable array identities let the id-keyed
+        # ipc_precal / padded-kernel-slab caches hit across exposures
+        pack = calfiles.load_caldir_cached(config["CALDIR"])
         l1 = asdf_lite.open(config["IN"])["roman"]
         area = l1_to_l2.area_factor_from_config(config, pack.nside)
         prep = l1_to_l2.prepare_inputs(l1, config, pack, area)

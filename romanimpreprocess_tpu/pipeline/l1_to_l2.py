@@ -18,7 +18,9 @@ sidecar -> pixel-area map, plan precomputation, L2 ASDF/FITS write,
 process log.
 """
 
+import os
 import sys
+import threading
 import time
 
 import jax
@@ -47,11 +49,14 @@ def _refpix_correct(data, dark_cube, amp33, amp33_med, opt_slope,
     reference block), row subtraction with the optimal amp33 slope,
     then channel subtraction; dark re-added afterwards.
 
-    Math identical to chaining ``refsub.ref_subtraction_row`` /
+    Equivalent to chaining ``refsub.ref_subtraction_row`` /
     ``ref_subtraction_channel`` on the augmented (nside, nside+cw)
     frame, but the augmented array is never materialized (the amp33
     columns only feed the row medians and their own — discarded —
     channel correction), saving ~1 GB of copies per 6-group frame.
+    Only the amp33 row branch is custom; the fit branch and the
+    channel stage ARE the :mod:`..ops.refsub` helpers applied to the
+    non-augmented frame.
     """
     nb = nborder
     cw = channelwidth
@@ -63,36 +68,17 @@ def _refpix_correct(data, dark_cube, amp33, amp33_med, opt_slope,
             blk = a33 - amp33_med
             blk = blk - jnp.median(blk)
             ref_med = jnp.median(blk, axis=1)
-            m = opt_slope
+            work = work - (
+                opt_slope * (ref_med - jnp.median(ref_med))
+            )[:, None]
         else:
-            ref = jnp.concatenate(
-                [work[:, :nb], work[:, nside - nb : nside]], axis=1
+            work = refsub.ref_subtraction_row(
+                work, nside=nside, nborder=nb
             )
-            ref_med = jnp.median(ref, axis=1)
-            sci_med = jnp.median(work[:, nb : nside - nb], axis=1)
-            rm = jnp.mean(ref_med)
-            sm = jnp.mean(sci_med)
-            m = jnp.sum((ref_med - rm) * (sci_med - sm)) / jnp.sum(
-                (ref_med - rm) ** 2
-            )
-        work = work - (m * (ref_med - jnp.median(ref_med)))[:, None]
         # ---- channel stage (reference_subtraction.py:16-74) ----
-        nch = nside // cw
-        block = work.reshape(nside, nch, cw)
-        bottom = jnp.median(
-            block[:nb].transpose(1, 0, 2).reshape(nch, nb * cw), axis=1
+        work = refsub.ref_subtraction_channel(
+            work, nside=nside, nborder=nb, channelwidth=cw
         )
-        top = jnp.median(
-            block[nside - nb :].transpose(1, 0, 2).reshape(nch, nb * cw),
-            axis=1,
-        )
-        y0 = (nb - 1) / 2.0
-        y1 = nside - 1 - (nb - 1) / 2.0
-        mm = (top - bottom) / (y1 - y0)
-        c = bottom - mm * y0
-        rows = jnp.arange(nside, dtype=work.dtype)
-        corr = mm[None, :] * rows[:, None] + c[None, :]
-        work = (block - corr[:, :, None]).reshape(nside, nside)
         return work + dark
 
     # vmap (not lax.map): the per-group median sorts batch into one
@@ -115,7 +101,7 @@ def _dark_decay_signal(read_pattern, frame_time, amplitude, time_constant):
     return np.asarray(out, dtype=np.float32)
 
 
-def _wfi18_row_basis(nside, nborder):
+def _wfi18_row_basis(nside):
     """Two-exponential row basis for the WFI18 first-read transient.
 
     Row coordinate includes the 4-row timing gap every 256 rows
@@ -134,7 +120,7 @@ def _correct_wfi18(data, nside, nborder):
     affects the first read); weighted least squares on the fixed-tau
     basis; the fitted profile is removed from read 0.
     """
-    basis = jnp.asarray(_wfi18_row_basis(nside, nborder))  # (nside, 2)
+    basis = jnp.asarray(_wfi18_row_basis(nside))  # (nside, 2)
     nb = nborder
     prof = jnp.median(
         data[0, :, nb : nside - nb] - data[1, :, nb : nside - nb], axis=1
@@ -273,7 +259,7 @@ def make_core(plan, cfg, geom):
 
         # zero the border of the science/variance maps (reference
         # do_ramp_fit re-embedding, gen_cal_image.py:470-475)
-        interior = jnp.zeros((nside, nside), bool).at[nb:-nb, nb:-nb].set(True)
+        interior = ramp.interior_mask(nside, nside, nb)
         slope = jnp.where(interior, slope, 0.0)
         ser = jnp.where(interior, ser, 0.0)
         sep = jnp.where(interior, sep, 0.0)
@@ -355,6 +341,7 @@ def make_core(plan, cfg, geom):
 # --------------------------------------------------------------------------
 
 _IPC_PRECAL_CACHE = {}
+_HOST_CACHE_LOCK = threading.Lock()
 
 
 def ipc_precal(flat, dark_slope, gain, ipc_kernel, nborder):
@@ -392,15 +379,17 @@ def ipc_precal(flat, dark_slope, gain, ipc_kernel, nborder):
         )
     )
     out = (corr[0] / gain_act, corr[1] / gain_flat)
-    # evict oldest first (insertion-ordered dict) so concurrent readers
-    # of other live entries never see a wholesale clear; called from
-    # calibrate_fpa's thread pool, so return the local value rather
-    # than re-reading the dict
-    while len(_IPC_PRECAL_CACHE) > 4:
-        _IPC_PRECAL_CACHE.pop(next(iter(_IPC_PRECAL_CACHE)), None)
-    # keep strong refs to the inputs so a GC'd array can't alias
-    # a stale id-keyed entry
-    _IPC_PRECAL_CACHE[ck] = (out, (flat, dark_slope, gain, ipc_kernel))
+    # called from calibrate_fpa's thread pool: evict-oldest + insert
+    # under a lock (a concurrent pop during next(iter(...)) raises
+    # RuntimeError), and return the local value rather than re-reading
+    # the dict.  Cap 24 > the 18-SCA focal plane so per-SCA cal packs
+    # stay resident across a production sweep.
+    with _HOST_CACHE_LOCK:
+        while len(_IPC_PRECAL_CACHE) > 24:
+            _IPC_PRECAL_CACHE.pop(next(iter(_IPC_PRECAL_CACHE)), None)
+        # keep strong refs to the inputs so a GC'd array can't alias
+        # a stale id-keyed entry
+        _IPC_PRECAL_CACHE[ck] = (out, (flat, dark_slope, gain, ipc_kernel))
     return out
 
 
@@ -440,19 +429,39 @@ def core_key(plan, cfg, geom):
 
 
 def _get_core(plan, cfg, geom):
+    # the calibration core never reads the read-axis contraction
+    # backend (sim/noise-only key): strip it so flipping
+    # CONTRACT_BACKEND doesn't recompile a byte-identical cal program
+    # (minutes per compile on the TPU relay)
+    cfg = {k: v for k, v in cfg.items() if k != "contract"}
     key = core_key(plan, cfg, geom)
     if key not in _CORE_CACHE:
         _CORE_CACHE[key] = make_core(plan, cfg, geom)
     return _CORE_CACHE[key]
 
 
+_WCS_CACHE = {}
+
+
 def wcs_from_config(config):
     """FITS-header WCS from the FITSWCS sidecar (reference
-    ``gen_cal_image.py:64-87``)."""
-    if "FITSWCS" in config:
-        with open(config["FITSWCS"]) as f:
-            return fits_lite.Header.fromstring(f.read())
-    return None
+    ``gen_cal_image.py:64-87``), memoized by (path, mtime) — the
+    sidecar is consulted twice per exposure (area factor + wcsinfo
+    packaging)."""
+    if "FITSWCS" not in config:
+        return None
+    path = config["FITSWCS"]
+    mt = os.path.getmtime(path)
+    hit = _WCS_CACHE.get(path)
+    if hit is not None and hit[0] == mt:
+        return hit[1]
+    with open(path) as f:
+        hdr = fits_lite.Header.fromstring(f.read())
+    with _HOST_CACHE_LOCK:
+        while len(_WCS_CACHE) > 64:
+            _WCS_CACHE.pop(next(iter(_WCS_CACHE)), None)
+        _WCS_CACHE[path] = (mt, hdr)
+    return hdr
 
 
 def calibrateimage(config, verbose=False, return_arrays=False):
@@ -655,7 +664,17 @@ def prepare_inputs(l1, config, pack, area_factor=None):
         skyorder=int(config.get("SKYORDER", -1)),
     )
 
-    de = pack.dark_cube.shape[0] - ngrp  # EXTRACT_REF trailing alignment
+    # trailing alignment: dark files may carry extra LEADING slices (a
+    # reference read the exposure dropped under EXTRACT_REF) — the
+    # reference's own noise engine documents exactly this de semantics
+    # (gen_noise_image.py:107-110); its gen_cal_image indexes [j]
+    # leading, which is only consistent when the counts match.
+    de = pack.dark_cube.shape[0] - ngrp
+    if de < 0:
+        raise ValueError(
+            f"dark cube has {pack.dark_cube.shape[0]} groups but the "
+            f"exposure has {ngrp}"
+        )
     arr = {
         "opt_slope": np.float32(opt_slope if opt_slope is not None else 0.0),
         "data": data,

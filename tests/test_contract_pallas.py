@@ -76,3 +76,17 @@ def test_contract_backend_config_plumbing():
     assert m.cfg["contract"] == "pallas"
     m2 = noise_core._staged_layer_machinery(prep, pack, None)
     assert m2.cfg.get("contract", "dot") == "dot"
+
+
+def test_cal_core_shared_across_contract_backend():
+    """The calibration core never reads the read-axis contraction
+    backend (sim/noise-only key): flipping CONTRACT_BACKEND must NOT
+    recompile a byte-identical cal program (minutes per compile on the
+    TPU relay)."""
+    from romanimpreprocess_tpu import benchlib
+    from romanimpreprocess_tpu.pipeline import l1_to_l2
+
+    arr, plan, cfg, geom = benchlib.core_bundle(nside=64)
+    c1 = l1_to_l2._get_core(plan, dict(cfg, contract="dot"), geom)
+    c2 = l1_to_l2._get_core(plan, dict(cfg, contract="pallas"), geom)
+    assert c1 is c2
