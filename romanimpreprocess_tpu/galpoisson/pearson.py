@@ -272,11 +272,9 @@ def _ar_batched(m, nu, a, lam, rng, max_rounds=10000):
         xi = root[hit] * s[accept] - theta[hit]
         out[hit] = a[hit] * xi + lam[hit]
         pending[hit] = False
-    if np.any(pending):
-        # moment-matched normal fallback for any stragglers (should not
-        # happen in practice; keeps the function total)
-        out[pending] = 0.0
-    return out
+    # stragglers are returned for the caller's moment-matched fallback
+    # (writing 0.0 here would silently inject zero noise)
+    return out, pending
 
 
 def _draw_type4(tilnu_21, tilnu_31, tilnu_41, I, rng,
@@ -285,19 +283,36 @@ def _draw_type4(tilnu_21, tilnu_31, tilnu_41, I, rng,
     acc = _devroye_acc_rate(m, nu, a)
     use_dev = acc > devroye_threshold
     out = np.zeros(I.shape[0])
+    stuck = np.zeros(I.shape[0], bool)
     if np.any(use_dev):
         d, pend = _devroye_batched(
             m[use_dev], nu[use_dev], a[use_dev], lam[use_dev], rng
         )
         if np.any(pend):
-            d[pend] = _ar_batched(
+            d[pend], pend2 = _ar_batched(
                 m[use_dev][pend], nu[use_dev][pend], a[use_dev][pend],
                 lam[use_dev][pend], rng,
             )
+            sub = np.zeros(d.shape[0], bool)
+            sub[pend] = pend2
+            tmp = np.zeros(I.shape[0], bool)
+            tmp[use_dev] = sub
+            stuck |= tmp
         out[use_dev] = d
     if np.any(~use_dev):
-        out[~use_dev] = _ar_batched(
+        out[~use_dev], pend = _ar_batched(
             m[~use_dev], nu[~use_dev], a[~use_dev], lam[~use_dev], rng
+        )
+        tmp = np.zeros(I.shape[0], bool)
+        tmp[~use_dev] = pend
+        stuck |= tmp
+    if np.any(stuck):
+        # moment-matched normal for pixels both samplers failed to fill
+        # (vanishingly rare): zero mean, target second moment
+        # mu2 = tilnu_21 * I — NOT zero, which would bias the 'O' noise
+        # layer variance low for exactly the hardest-parameter pixels
+        out[stuck] = rng.normal(
+            0.0, np.sqrt(np.maximum(tilnu_21 * I[stuck], 0.0))
         )
     return out
 

@@ -42,6 +42,11 @@ from . import l1_to_l2, sim_to_l1
 _medfit_j = jax.jit(sky.medfit, static_argnames=("N", "order"))
 
 
+_normal_j = jax.jit(
+    jax.random.normal, static_argnames=("shape",)
+)
+
+
 def weightvec_table(tbar, weights_last, ngrp, exclude_first):
     """Per-endslice ramp-fit weight vectors (reference
     ``gen_noise_image.py:185-208``): the full-ramp optimal weights for
@@ -138,7 +143,7 @@ _RESAMPLE_CACHE = {}
 
 
 def _poisson_resample_layer(key, e_per_slice, gain, read_pattern, weightvecs,
-                            endslice, ngrp):
+                            endslice, ngrp, contract="dot"):
     """Host entry for the 'P...r' layer: cached jit over
     :func:`resample_traced` (re-jitting per call would recompile)."""
     rp_t = tuple(tuple(g) for g in read_pattern)
@@ -146,13 +151,14 @@ def _poisson_resample_layer(key, e_per_slice, gain, read_pattern, weightvecs,
         None if w is None else tuple(np.asarray(w, np.float32).tolist())
         for w in weightvecs
     )
-    cache_key = (rp_t, wv_t, ngrp, e_per_slice.shape)
+    cache_key = (rp_t, wv_t, ngrp, e_per_slice.shape, contract)
     if cache_key not in _RESAMPLE_CACHE:
         wv = [None if w is None else np.asarray(w, np.float32)
               for w in wv_t]
         _RESAMPLE_CACHE[cache_key] = jax.jit(
             lambda e, g, es, k: resample_traced(
-                k, e, g, es, [list(t) for t in rp_t], wv, ngrp
+                k, e, g, es, [list(t) for t in rp_t], wv, ngrp,
+                contract=contract,
             )
         )
     run = _RESAMPLE_CACHE[cache_key]
@@ -160,9 +166,6 @@ def _poisson_resample_layer(key, e_per_slice, gain, read_pattern, weightvecs,
         run(jnp.asarray(e_per_slice), jnp.asarray(gain),
             jnp.asarray(endslice), key)
     )
-
-
-_STAGED_RUNNER_CACHE = {}
 
 
 def make_noise_cube(config, seed=None, *, pack=None, base_l1=None,
@@ -183,7 +186,7 @@ def make_noise_cube(config, seed=None, *, pack=None, base_l1=None,
     """
     nz = config.get("NOISE", {})
     backend = str(nz.get("BACKEND", "device")).lower()
-    if backend != "host" and str(nz.get("PEARSON_BACKEND", "jax")) != "host":
+    if backend != "host" and str(str(nz.get("PEARSON_BACKEND", "jax")).lower()) != "host":
         try:
             return _make_noise_cube_device(
                 config, seed, pack=pack, base_l1=base_l1, base_l2=base_l2
@@ -221,20 +224,11 @@ def _make_noise_cube_device(config, seed=None, *, pack=None, base_l1=None,
     area_factor = l1_to_l2.area_factor_from_config(config, pack.nside)
     prep = l1_to_l2.prepare_inputs(base_l1, config, pack, area_factor)
 
-    ck = (
-        l1_to_l2.core_key(prep["plan"], prep["cfg"], prep["geom"]),
-        tuple(layers),
-        tuple(map(tuple, prep["read_pattern"])),
-        float(prep["frame_time"]),
-        np.asarray(prep["weights_out"], np.float32).tobytes(),
-        # not the pink amplitudes: they ride in arrs as runtime
-        # scalars, so one runner serves every detector
-    )
-    if ck not in _STAGED_RUNNER_CACHE:
-        _STAGED_RUNNER_CACHE[ck] = noise_core.make_staged_noise_runner(
-            prep, pack, layers, config
-        )
-    run = _STAGED_RUNNER_CACHE[ck]
+    # no runner-level cache: make_staged_noise_runner is a thin closure
+    # over noise_core's content-keyed _MACHINERY_CACHE, which dedupes
+    # all jitted stages — a second cache with its own near-identical
+    # key definition is a drift hazard (the W.sum() collision class)
+    run = noise_core.make_staged_noise_runner(prep, pack, layers, config)
 
     arrs = {
         k: jax.device_put(jnp.asarray(v))
@@ -316,8 +310,11 @@ def _make_noise_cube_host(config, seed=None, *, pack=None, base_l1=None,
             # reference-pixel / 1-f / amp33 refill
             kw, kf = jax.random.split(jax.random.fold_in(lkey, 0))
             data = mytree["data"].astype(np.float32)
+            # jitted draw: eager dispatch is randomly UNIMPLEMENTED on
+            # the axon relay, and this host path is the automatic
+            # fallback when the device path fails
             white = np.asarray(
-                jax.random.normal(kw, (ngrp, na, na))
+                _normal_j(kw, (ngrp, na, na))
             ) * pack.read_sigma[act, act][None] / np.sqrt(nvec)[:, None, None]
             data[:, act, act] = np.clip(
                 np.round(data[:, act, act] + white), 0, 65535
@@ -388,7 +385,12 @@ def _make_noise_cube_host(config, seed=None, *, pack=None, base_l1=None,
                 # metadata-scale select; classes <= ngrp)
                 t21m = np.zeros((na, na), np.float32)
                 t31m = np.zeros((na, na), np.float32)
-                t41m = np.full((na, na), -1.0, np.float32)  # inadmissible
+                # filler must be TRULY inadmissible for every clipped
+                # intensity (beta2 < 0), so no-weight lanes never
+                # dispatch a sampler; a mild t41=-1 filler actually
+                # lands in the type-1 region for gI > 0.5 and only the
+                # trailing * hasw mask hid the spurious draws
+                t41m = np.full((na, na), -1.0e12, np.float32)
                 hasw = np.zeros((na, na), bool)
                 for i, (t21, t31, t41) in tilnus.items():
                     sel = endslice == i
@@ -429,6 +431,9 @@ def _make_noise_cube_host(config, seed=None, *, pack=None, base_l1=None,
                 diff += _poisson_resample_layer(
                     jax.random.fold_in(lkey, 1), e_per_slice, gain_a,
                     read_pattern, weightvecs, endslice, ngrp,
+                    contract=str(
+                        config.get("CONTRACT_BACKEND", "dot")
+                    ).lower(),
                 )
 
         if "S" in cmd:

@@ -197,7 +197,12 @@ def make_exposure_noise_core(prep, pack, layers, config=None, jit=True):
         gI = gain_a * base["slope_withsky"][act, act]
         t21m = jnp.ones((na, na), jnp.float32)
         t31m = jnp.zeros((na, na), jnp.float32)
-        t41m = jnp.full((na, na), -1.0, jnp.float32)
+        # truly inadmissible filler (beta2 < 0 for every physical
+        # gI) so no-weight lanes never classify as a live Pearson
+        # type: a mild -1 lands in the type-1 region for gI > 0.5
+        # and only the trailing * hasw multiply hides the spurious
+        # draws (a NaN there would leak through the mask)
+        t41m = jnp.full((na, na), -1.0e12, jnp.float32)
         hasw = jnp.zeros((na, na), bool)
         for i, (t21, t31, t41) in tilnus.items():
             sel = endslice_c == i
@@ -449,7 +454,12 @@ def _staged_layer_machinery(prep, pack, config, mesh=None):
         gI = gain_a * withsky[act, act]
         t21m = jnp.ones((na, na), jnp.float32)
         t31m = jnp.zeros((na, na), jnp.float32)
-        t41m = jnp.full((na, na), -1.0, jnp.float32)
+        # truly inadmissible filler (beta2 < 0 for every physical
+        # gI) so no-weight lanes never classify as a live Pearson
+        # type: a mild -1 lands in the type-1 region for gI > 0.5
+        # and only the trailing * hasw multiply hides the spurious
+        # draws (a NaN there would leak through the mask)
+        t41m = jnp.full((na, na), -1.0e12, jnp.float32)
         hasw = jnp.zeros((na, na), bool)
         for i, (t21, t31, t41) in tilnus.items():
             sel = endslice_c == i

@@ -14,6 +14,7 @@ import pytest
 
 from romanimpreprocess_tpu.galpoisson import draw_from_pearson, get_tilde_nus
 from romanimpreprocess_tpu.galpoisson.pearson import (
+    _ar_batched,
     _betas,
     _devroye_acc_rate,
     _draw_type1,
@@ -73,6 +74,40 @@ def test_type4_ar_moments():
     I = np.full(n, 50.0)
     d = _draw_type4(5.0, -1.0, 5.0, I, rng)
     _check(d, 5.0, -1.0, 50.0)
+
+
+def test_type4_ar_reports_stragglers():
+    """_ar_batched with max_rounds=0 must report every lane pending
+    (not silently write zeros) so the caller can apply its
+    moment-matched fallback."""
+    rng = np.random.default_rng(7)
+    I = np.full(64, 50.0)
+    m, nu, a, lam = _type4_params(5.0, -1.0, 5.0, I)
+    out, pending = _ar_batched(m, nu, a, lam, rng, max_rounds=0)
+    assert pending.all()
+    assert np.all(out == 0.0)
+
+
+def test_type4_straggler_fallback_matches_variance(monkeypatch):
+    """If both type-4 samplers leave lanes pending, the fallback must
+    draw moment-matched normals (mu2 = t21 * I), not inject zeros."""
+    from romanimpreprocess_tpu.galpoisson import pearson as P
+
+    def all_pending_ar(m, nu, a, lam, rng, max_rounds=10000):
+        return np.zeros(m.shape[0]), np.ones(m.shape[0], bool)
+
+    def all_pending_dev(m, nu, a, lam, rng):
+        return np.zeros(m.shape[0]), np.ones(m.shape[0], bool)
+
+    monkeypatch.setattr(P, "_ar_batched", all_pending_ar)
+    monkeypatch.setattr(P, "_devroye_batched", all_pending_dev)
+    rng = np.random.default_rng(8)
+    t21, t31, t41, I0 = 1.0, -1.0, 10.0, 3.0
+    d = P._draw_type4(t21, t31, t41, np.full(NSAMP, I0), rng)
+    assert np.isfinite(d).all()
+    mu2 = t21 * I0
+    assert abs(d.var(ddof=0) - mu2) / mu2 < 0.05
+    assert abs(d.mean()) < 3 * np.sqrt(mu2 / NSAMP) * 4
 
 
 def test_type5_moments():
