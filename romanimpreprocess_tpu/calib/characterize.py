@@ -20,6 +20,8 @@ TPU-first:
   alpha ~ C(d)/ (2 C(0)) for shot-noise-dominated diffs).
 """
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -30,6 +32,71 @@ from ..ops.legendre import legendre_basis_1d
 def _legendre_design(z, order):
     """(order+1, ...) stack of P_L(z)."""
     return legendre_basis_1d(order, z)
+
+
+@functools.partial(jax.jit, static_argnames=("p_order", "n_iter"))
+def _linfit_core(stacked, smin, smax, sref, tw, t2sum, *, p_order,
+                 n_iter):
+    """The whole linearity fit as ONE jitted program (the repo rule:
+    all device code under jit — eager dispatch of the (nc, nsamp, ny,
+    nx) Legendre stack and the normal-equation einsums is both
+    unreliable on the relay backend and materializes intermediates XLA
+    would otherwise fuse).
+
+    ``tw``: (nramp, nsamp) per-ramp frame times (zero outside the
+    ramp); ``t2sum``: (nramp,) sum of squared times per ramp.
+    Returns (coef_out (nc, ny, nx), dg_ds (ny, nx)).
+    """
+    nc = p_order + 1
+    ny, nx = stacked.shape[-2:]
+    nramp = tw.shape[0]
+
+    z = -1.0 + 2.0 * (stacked - smin[None]) / (smax - smin)[None]
+    z = jnp.clip(z, -1.0, 1.0)
+    P = _legendre_design(z, p_order)  # (nc, nsamp, ny, nx)
+
+    # Eliminating the per-ramp rates analytically, the response
+    # coefficients minimize c^T M c with
+    #   M = sum_k b_k b_k^T - sum_r (w_r w_r^T) / sum_{k in r} t_k^2,
+    #   b_k = P(z_k),  w_r = sum_{k in r} t_k b_k
+    # (the quadratic form of residuals after projecting out each
+    # ramp's best linear-in-time fit).  The response is M's
+    # near-null eigenvector; batched inverse iteration finds it.
+    M = jnp.einsum("ikyx,jkyx->ijyx", P, P)
+    for r in range(nramp):
+        w = jnp.einsum("ikyx,k->iyx", P, tw[r])
+        M = M - jnp.einsum("iyx,jyx->ijyx", w, w) / t2sum[r]
+    MT = jnp.moveaxis(M, (0, 1), (-2, -1))  # (ny, nx, nc, nc)
+    eps = 1e-5 * jnp.trace(MT, axis1=-2, axis2=-1)[..., None, None] / nc
+    MT = MT + eps * jnp.eye(nc)
+    # start from the z-linear response (coef = e_1)
+    x = jnp.zeros((ny, nx, nc)).at[..., 1].set(1.0)
+
+    def body(x, _):
+        x = jnp.linalg.solve(MT, x[..., None])[..., 0]
+        x = x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+        return x, None
+
+    x, _ = jax.lax.scan(body, x, None, length=n_iter)
+    coef = jnp.moveaxis(x, -1, 0)  # (nc, ny, nx)
+
+    # gauge fix at Sref: value 0, derivative 1
+    zref = -1.0 + 2.0 * (sref - smin) / (smax - smin)
+    Pref = _legendre_design(zref, p_order)  # (nc, ny, nx)
+    g_ref = jnp.einsum("iyx,iyx->yx", coef, Pref)
+    # derivative dP_L/dz via finite difference of the basis (exact
+    # would use the derivative recursion; h small vs the domain)
+    h = 1e-3
+    Pref_p = _legendre_design(zref + h, p_order)
+    Pref_m = _legendre_design(zref - h, p_order)
+    dg_dz = jnp.einsum("iyx,iyx->yx", coef, (Pref_p - Pref_m) / (2 * h))
+    dz_ds = 2.0 / (smax - smin)
+    dg_ds = dg_dz * dz_ds
+    dg_ds = jnp.where(jnp.abs(dg_ds) < 1e-8, 1e-8, dg_ds)
+
+    coef_out = coef / dg_ds[None]
+    coef_out = coef_out.at[0].add(-g_ref / dg_ds)
+    return coef_out, dg_ds
 
 
 def fit_linearity(ramps, t_arrays, sref_frame_value, *, p_order=6,
@@ -62,80 +129,38 @@ def fit_linearity(ramps, t_arrays, sref_frame_value, *, p_order=6,
     Slin = 0 and slope 1 at Sref, matching the reference convention
     (``docs/from_sim_README.rst`` linearity spec).
     """
-    ny, nx = ramps[0].shape[-2:]
-    stacked = jnp.concatenate([jnp.asarray(r) for r in ramps], axis=0)
-    nsamp = stacked.shape[0]
+    # host-side assembly (numpy): shapes, ramp bookkeeping, default
+    # domain bounds — only the fit itself touches the device
+    stacked = np.concatenate(
+        [np.asarray(r, np.float32) for r in ramps], axis=0
+    )
     ramp_id = np.concatenate(
         [np.full(r.shape[0], i, np.int32) for i, r in enumerate(ramps)]
     )
     tvec = np.concatenate([np.asarray(t, np.float64) for t in t_arrays])
     nramp = len(ramps)
+    tw = np.stack(
+        [np.where(ramp_id == r, tvec, 0.0) for r in range(nramp)]
+    ).astype(np.float32)
+    t2sum = np.array(
+        [np.sum(tvec[ramp_id == r] ** 2) for r in range(nramp)],
+        np.float32,
+    )
 
     if smin is None:
         smin = np.minimum(
-            np.asarray(jnp.min(stacked, axis=0)),
-            np.asarray(sref_frame_value),
+            stacked.min(axis=0), np.asarray(sref_frame_value)
         ) - 500.0  # NEGATIVEPAD
     if smax is None:
-        smax = np.asarray(jnp.max(stacked, axis=0)) / sat_fraction
-    smin = jnp.asarray(smin, jnp.float32)
-    smax = jnp.asarray(smax, jnp.float32)
-    sref = jnp.asarray(sref_frame_value, jnp.float32)
+        smax = stacked.max(axis=0) / sat_fraction
 
-    z = -1.0 + 2.0 * (stacked - smin[None]) / (smax - smin)[None]
-    z = jnp.clip(z, -1.0, 1.0)
-    P = _legendre_design(z, p_order)  # (p+1, nsamp, ny, nx)
-    nc = p_order + 1
-
-    @jax.jit
-    def solve(P):
-        # Eliminating the per-ramp rates analytically, the response
-        # coefficients minimize c^T M c with
-        #   M = sum_k b_k b_k^T - sum_r (w_r w_r^T) / sum_{k in r} t_k^2,
-        #   b_k = P(z_k),  w_r = sum_{k in r} t_k b_k
-        # (the quadratic form of residuals after projecting out each
-        # ramp's best linear-in-time fit).  The response is M's
-        # near-null eigenvector; batched inverse iteration finds it.
-        A = jnp.einsum("ikyx,jkyx->ijyx", P, P)
-        M = A
-        for r in range(nramp):
-            tw = jnp.asarray(np.where(ramp_id == r, tvec, 0.0), jnp.float32)
-            w = jnp.einsum("ikyx,k->iyx", P, tw)
-            M = M - jnp.einsum("iyx,jyx->ijyx", w, w) / float(
-                np.sum(tvec[ramp_id == r] ** 2)
-            )
-        MT = jnp.moveaxis(M, (0, 1), (-2, -1))  # (ny, nx, nc, nc)
-        eps = 1e-5 * jnp.trace(MT, axis1=-2, axis2=-1)[..., None, None] / nc
-        MT = MT + eps * jnp.eye(nc)
-        # start from the z-linear response (coef = e_1)
-        x = jnp.zeros((ny, nx, nc)).at[..., 1].set(1.0)
-
-        def body(x, _):
-            x = jnp.linalg.solve(MT, x[..., None])[..., 0]
-            x = x / jnp.linalg.norm(x, axis=-1, keepdims=True)
-            return x, None
-
-        x, _ = jax.lax.scan(body, x, None, length=n_iter)
-        return jnp.moveaxis(x, -1, 0)  # (nc, ny, nx)
-
-    coef = solve(P)
-
-    # gauge fix at Sref: value 0, derivative 1
-    zref = -1.0 + 2.0 * (sref - smin) / (smax - smin)
-    Pref = _legendre_design(zref, p_order)  # (nc, ny, nx)
-    g_ref = jnp.einsum("iyx,iyx->yx", coef, Pref)
-    # derivative dP_L/dz via finite difference of the basis (exact would
-    # use the derivative recursion; h small relative to the domain)
-    h = 1e-3
-    Pref_p = _legendre_design(zref + h, p_order)
-    Pref_m = _legendre_design(zref - h, p_order)
-    dg_dz = jnp.einsum("iyx,iyx->yx", coef, (Pref_p - Pref_m) / (2 * h))
-    dz_ds = 2.0 / (smax - smin)
-    dg_ds = dg_dz * dz_ds
-    dg_ds = jnp.where(jnp.abs(dg_ds) < 1e-8, 1e-8, dg_ds)
-
-    coef_out = coef / dg_ds[None]
-    coef_out = coef_out.at[0].add(-g_ref / dg_ds)
+    coef_out, dg_ds = _linfit_core(
+        jnp.asarray(stacked), jnp.asarray(smin, jnp.float32),
+        jnp.asarray(smax, jnp.float32),
+        jnp.asarray(sref_frame_value, jnp.float32),
+        jnp.asarray(tw), jnp.asarray(t2sum),
+        p_order=p_order, n_iter=n_iter,
+    )
 
     dq = np.where(
         np.asarray(dg_ds) <= 1e-6, 1, 0
@@ -145,7 +170,7 @@ def fit_linearity(ramps, t_arrays, sref_frame_value, *, p_order=6,
         "data": np.asarray(coef_out, np.float32),
         "Smin": np.asarray(smin, np.float32),
         "Smax": np.asarray(smax, np.float32),
-        "Sref": np.asarray(sref, np.float32),
+        "Sref": np.asarray(sref_frame_value, np.float32),
         "dq": dq,
     }
 
@@ -211,7 +236,14 @@ def gain_from_mean_variance(flat_cube, superpixel=32, read_var=0.0):
     solid-waffle does the full correlation analysis — this is the
     classical photon-transfer estimate.
     """
-    flat_cube = jnp.asarray(flat_cube, jnp.float32)
+    return np.asarray(_gain_core(
+        jnp.asarray(flat_cube, jnp.float32),
+        jnp.float32(read_var), superpixel=superpixel,
+    ))
+
+
+@functools.partial(jax.jit, static_argnames=("superpixel",))
+def _gain_core(flat_cube, read_var, *, superpixel):
     diffs = flat_cube[1:] - flat_cube[:-1]  # (nd, ny, nx) increments
     ny, nx = diffs.shape[-2:]
     k = superpixel
@@ -226,8 +258,7 @@ def gain_from_mean_variance(flat_cube, superpixel=32, read_var=0.0):
     gain_sp = mean_sig / jnp.clip(var_sig, 1e-6, None)
     gain = jnp.repeat(jnp.repeat(gain_sp, k, axis=0), k, axis=1)
     out = jnp.ones((ny, nx), jnp.float32)
-    out = out.at[: nsy * k, : nsx * k].set(gain)
-    return np.asarray(out)
+    return out.at[: nsy * k, : nsx * k].set(gain)
 
 
 def ipc_from_autocorr(flat_cube, nborder=4):

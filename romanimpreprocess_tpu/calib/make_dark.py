@@ -27,22 +27,59 @@ from ..io import asdf_lite, fits_lite
 
 @jax.jit
 def sigma_clip_mean(stack, sigma=3.0, iters=5):
-    """Mean over axis 0 with iterative sigma clipping (masked, like
-    ``astropy.stats.sigma_clip(..., axis=0)`` + nanmean)."""
-    good = jnp.ones(stack.shape, dtype=bool)
+    """Mean over axis 0 with iterative MEDIAN-centered sigma clipping,
+    matching ``astropy.stats.sigma_clip(..., sigma=3, axis=0)`` +
+    ``nanmean`` as the reference uses it (``make_dark_file.py:69``):
+    astropy's default ``cenfunc`` is the *median* (robust against the
+    cosmic-ray outliers this clip exists to reject — a mean-centered
+    clip lets a large hit drag the center and inflate the std until the
+    hit survives) and its default ``stdfunc`` is the ddof=0 std.
 
-    def body(_, good):
-        n = jnp.sum(good, axis=0)
-        mean = jnp.sum(jnp.where(good, stack, 0.0), axis=0) / jnp.maximum(n, 1)
+    Shape-static device form: values are sorted once along axis 0
+    (clipping never changes them, only the membership), after which the
+    survivor set of every median-centered interval clip is a contiguous
+    index range [lo, hi) per pixel — each iteration just tightens the
+    two bound planes.  Per-pixel element reads use a masked reduction
+    (no TPU gathers, per the repo design rule).  NaNs sort to the end
+    and start outside [lo, hi), reproducing the nanmean.
+    """
+    n_exp = stack.shape[0]
+    ss = jnp.sort(stack, axis=0)  # NaNs sort last
+    idx = jnp.arange(n_exp).reshape((n_exp,) + (1,) * (stack.ndim - 1))
+    lo = jnp.zeros(stack.shape[1:], jnp.int32)
+    hi = (n_exp - jnp.sum(jnp.isnan(ss), axis=0)).astype(jnp.int32)
+
+    def at0(i):
+        # ss[i] per pixel, i a (ny, nx) index plane: masked reduction
+        return jnp.sum(jnp.where(idx == i[None], ss, 0.0), axis=0)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        good = (idx >= lo[None]) & (idx < hi[None])
+        n = jnp.maximum(hi - lo, 1)
+        med = 0.5 * (at0(lo + (n - 1) // 2) + at0(lo + n // 2))
+        mean = jnp.sum(jnp.where(good, ss, 0.0), axis=0) / n
         var = jnp.sum(
-            jnp.where(good, (stack - mean[None]) ** 2, 0.0), axis=0
-        ) / jnp.maximum(n - 1, 1)
+            jnp.where(good, (ss - mean[None]) ** 2, 0.0), axis=0
+        ) / n
         std = jnp.sqrt(var)
-        return good & (jnp.abs(stack - mean[None]) <= sigma * std[None] + 1e-30)
+        # survivors: med - sigma*std <= value <= med + sigma*std
+        # (astropy masks strict-outside); bounds only ever tighten
+        lo2 = jnp.sum(
+            (idx < hi[None]) & (ss < (med - sigma * std)[None]), axis=0
+        ).astype(jnp.int32)
+        hi2 = hi - jnp.sum(
+            (idx >= lo[None]) & (idx < hi[None])
+            & (ss > (med + sigma * std)[None]),
+            axis=0,
+        ).astype(jnp.int32)
+        return jnp.maximum(lo, lo2), jnp.minimum(hi, hi2)
 
-    good = jax.lax.fori_loop(0, iters, body, good)
-    n = jnp.sum(good, axis=0)
-    return jnp.sum(jnp.where(good, stack, 0.0), axis=0) / jnp.maximum(n, 1)
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    good = (idx >= lo[None]) & (idx < hi[None])
+    return jnp.sum(jnp.where(good, ss, 0.0), axis=0) / jnp.maximum(
+        hi - lo, 1
+    )
 
 
 def _ref_meta(reftype, sca, pattern_name="", ngroups=0):

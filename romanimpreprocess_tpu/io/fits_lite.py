@@ -70,7 +70,13 @@ class Header:
     def copy(self):
         h = Header()
         h._keys = list(self._keys)
-        h._values = dict(self._values)
+        # COMMENT/HISTORY values are lists that __setitem__ appends to
+        # in place — a shallow dict copy would share them, so adding a
+        # comment to the copy would mutate the original header too
+        h._values = {
+            k: (list(v) if isinstance(v, list) else v)
+            for k, v in self._values.items()
+        }
         h._comments = dict(self._comments)
         return h
 

@@ -132,10 +132,15 @@ def calibrate_fpa(configs, mesh=None, write=True, max_workers=8,
         loaded = list(pool.map(load_one, configs))
     timings["host_staging_s"] = time.perf_counter() - t0
 
-    # group by compiled-core identity (MA table, static cfg, geometry)
+    # group by compiled-core identity (MA table, static cfg, geometry);
+    # strip the sim/noise-only contraction backend exactly as
+    # make_fpa_calibrator does — otherwise configs differing only in
+    # CONTRACT_BACKEND split into separate padded executions of the
+    # SAME compiled program
     groups = {}
     for i, (_, prep) in enumerate(loaded):
-        key = l1_to_l2.core_key(prep["plan"], prep["cfg"], prep["geom"])
+        cfg_g = {k: v for k, v in prep["cfg"].items() if k != "contract"}
+        key = l1_to_l2.core_key(prep["plan"], cfg_g, prep["geom"])
         groups.setdefault(key, []).append(i)
 
     ndev = mesh.devices.size

@@ -64,7 +64,8 @@ def scan_inputs(input_dir, use_scas):
     for infile in sorted(os.listdir(input_dir)):
         if not infile.lower().endswith(".fits"):
             continue
-        m = re.match(r".*_([A-Za-z0-9]+)_(\d+)_(\d+)\.fits$", infile)
+        m = re.match(r".*_([A-Za-z0-9]+)_(\d+)_(\d+)\.fits$", infile,
+                     flags=re.IGNORECASE)
         if not m:
             continue
         band, obsid, sca = m.group(1), int(m.group(2)), int(m.group(3))
@@ -75,8 +76,15 @@ def scan_inputs(input_dir, use_scas):
 
 
 def build_configs(infile, band, obsid, sca, *, output_dir, cal_dir, tag,
-                  seed, temp_dir, reads=None, layers=None):
-    """(L1 config, L2+noise config) for one exposure/SCA."""
+                  seed, temp_dir, reads=None, layers=None, dseed=10):
+    """(L1 config, L2+noise config) for one exposure/SCA.
+
+    The noise SEED is ``seed + dseed * NSCA`` — the reference advances
+    the running seed by one ``dseed * nsca`` step between the L1 and
+    NOISE configs of each exposure (``OpenUniverse_to_L1L2.py:108,135``),
+    keeping every seed on the dseed lattice (a plain ``seed + 1`` could
+    collide with another SCA's L1 seed and correlate their RNG streams).
+    """
     reads = reads or DEFAULT_READS
     layers = layers if layers is not None else DEFAULT_LAYERS
     stem = f"{band}_{obsid}_{sca}"
@@ -106,10 +114,52 @@ def build_configs(infile, band, obsid, sca, *, output_dir, cal_dir, tag,
         c2["NOISE"] = {
             "LAYER": list(layers),
             "TEMP": f"{temp_dir}/temp_{stem}.asdf",
-            "SEED": seed + 1,
+            "SEED": seed + dseed * NSCA,
             "OUT": f"{output_dir}/L2/sim_L2_{stem}_noise.asdf",
         }
     return c1, c2
+
+
+def plan_jobs(scanned, *, output_dir, cal_dir, tag, seed, dseed,
+              temp_dir, reads=None, layers=None, nmax=999):
+    """Turn scanned inputs into (c1, c2) config pairs with the
+    reference driver's seed sequence.
+
+    Seeds (``OpenUniverse_to_L1L2.py:49,108,141``): a single-SCA task
+    starts at ``seed0 + dseed*sca`` and advances the running seed by
+    ``dseed*NSCA`` twice per exposure (once after the L1 config, once
+    after the NOISE config).  SCA k's i-th exposure therefore draws L1
+    seed ``seed0 + dseed*(k + 2*i*NSCA)`` and noise seed one lattice
+    step later — reproduced per SCA here, so a ``--sca=all`` sweep
+    emits exactly the seeds of 18 reference tasks.
+
+    ``nmax`` bounds EXPOSURES PER SCA, like the reference's Nmax
+    truncating each single-SCA task's runlist (:148-152) — truncating
+    the flat file list with ``--sca=all`` would cut an exposure
+    mid-focal-plane and silently drop its remaining SCAs.
+
+    Returns ``(kept_inputs, jobs)``.
+    """
+    inputs, nkept = [], {}
+    for item in scanned:
+        sca = item[3]
+        if nkept.get(sca, 0) >= nmax:
+            continue
+        nkept[sca] = nkept.get(sca, 0) + 1
+        inputs.append(item)
+
+    jobs = []
+    iexp = {}
+    for infile, band, obsid, sca in inputs:
+        i = iexp.get(sca, 0)
+        iexp[sca] = i + 1
+        s = seed + dseed * (sca + 2 * i * NSCA)
+        jobs.append(build_configs(
+            infile, band, obsid, sca, output_dir=output_dir,
+            cal_dir=cal_dir, tag=tag, seed=s, temp_dir=temp_dir,
+            reads=reads, layers=layers, dseed=dseed,
+        ))
+    return inputs, jobs
 
 
 def process_exposure(c1, c2, write_mask=True):
@@ -193,20 +243,12 @@ def run(argv=None):
             os.makedirs(os.path.join(output_dir, sub), exist_ok=True)
         os.makedirs(temp_dir, exist_ok=True)
 
-    inputs = scan_inputs(input_dir, use_scas)[:nmax]
+    inputs, jobs = plan_jobs(
+        scan_inputs(input_dir, use_scas), output_dir=output_dir,
+        cal_dir=cal_dir, tag=tag, seed=seed, dseed=dseed,
+        temp_dir=temp_dir, reads=reads, layers=layers, nmax=nmax,
+    )
     print(f"{len(inputs)} exposures on {jax.devices()[0]}")
-
-    jobs = []
-    for infile, band, obsid, sca in inputs:
-        # per-SCA seed spacing, as in the reference (:49,:107,:141)
-        s = seed + dseed * sca
-        c1, c2 = build_configs(
-            infile, band, obsid, sca, output_dir=output_dir,
-            cal_dir=cal_dir, tag=tag, seed=s, temp_dir=temp_dir,
-            reads=reads, layers=layers,
-        )
-        jobs.append((c1, c2))
-        seed += dseed * NSCA
 
     if getval(argv, "fpa") is not None or "--fpa" in argv:
         # group the per-SCA jobs of each exposure into one FPA batch;

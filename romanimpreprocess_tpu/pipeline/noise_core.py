@@ -345,6 +345,23 @@ def _staged_layer_machinery(prep, pack, config, mesh=None):
         return call
 
     m.wrap = _wrap
+    # identity-keyed cache for wrapping EXTERNALLY cached cores (the
+    # sim/fill/cal factories return singletons): without it every
+    # make_staged_*_runner call in the mesh path would build a fresh
+    # jit(vmap(core)) — a new trace, and on the TPU relay a fresh
+    # multi-minute remote compile, per runner construction.  Entries
+    # hold a strong ref to the wrapped fn so a live id can't be
+    # recycled.
+    m._wrapped = {}
+
+    def _wrap_cached(fn):
+        hit = m._wrapped.get(id(fn))
+        if hit is None or hit[0] is not fn:
+            hit = (fn, _wrap(fn))
+            m._wrapped[id(fn)] = hit
+        return hit[1]
+
+    m.wrap_cached = _wrap_cached
     # Batched lane keys are DERIVED from one exposure key, never taken
     # from the caller: under vmap the rbg bit generator draws the whole
     # batch from lane 0's key (the other lanes get counter-extended
@@ -678,8 +695,12 @@ def make_staged_exposure_runner(prep, pack, layers, config=None,
         bool(m.do_amp33), im_is_active=True,
     )
     if mesh is not None:
-        simcore = m.wrap(simcore)
-        fillcore_active = m.wrap(fillcore_active)
+        # wrap through the machinery's identity cache: the factories
+        # return cached singletons, so repeat runner constructions
+        # (e.g. one per exposure in a batch sweep) re-dispatch the same
+        # jit(vmap(...)) objects instead of re-tracing
+        simcore = m.wrap_cached(simcore)
+        fillcore_active = m.wrap_cached(fillcore_active)
 
     def run(key, arrs):
         if mesh is not None:

@@ -151,6 +151,16 @@ def run_many_mesh(config1, config2, nrun, outfile=None, mesh=None,
     config1.setdefault("SEED", 100)
     if config1["OUT"] != config2["IN"]:
         raise ValueError("broken pipe: config1[OUT] != config2[IN]")
+    if "EXTRACT_REF" in config1:
+        # run_config simulates the FULL read pattern and then subtracts
+        # the offset-shifted reference read from every group
+        # (sim_to_l1.py:697-719); the staged core here synthesizes the
+        # post-extraction pattern directly and would silently measure a
+        # chain without that correlated noise
+        raise ValueError(
+            "run_many_mesh does not model EXTRACT_REF reference-read "
+            "subtraction; use run_many for EXTRACT_REF configs"
+        )
 
     x = s2l.run_config(config1)  # L1 + sidecar + truth rate
     pack = calfiles.load_caldir_cached(config2["CALDIR"])
@@ -168,17 +178,17 @@ def run_many_mesh(config1, config2, nrun, outfile=None, mesh=None,
     ndev = int(mesh.devices.size)
     m = noise_core._staged_layer_machinery(prep, pack, config2, mesh=mesh)
     cfg = m.cfg
-    simcore = m.wrap(s2l._l1_core_factory(
+    simcore = m.wrap_cached(s2l._l1_core_factory(
         m.read_pattern, m.frame_time, cfg["has_biascorr"],
         cfg["has_ipc"], True,
         ipc_pallas=cfg.get("ipc_pallas", False),
         contract=cfg.get("contract", "dot"),
     ))
-    fillcore = m.wrap(s2l._fill_core_factory(
+    fillcore = m.wrap_cached(s2l._fill_core_factory(
         tuple(len(g) for g in m.read_pattern), nside, m.geom[2], nb,
         True, bool(m.do_amp33), im_is_active=True,
     ))
-    core_v = m.wrap(l1_to_l2._get_core(
+    core_v = m.wrap_cached(l1_to_l2._get_core(
         prep["plan"],
         dict(cfg, outputs=("slope", "slope_err_read",
                            "slope_err_poisson", "pdq")),

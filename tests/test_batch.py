@@ -106,3 +106,52 @@ def test_batch_fpa_matches_serial(tmp_path):
         s_f = np.percentile(nzf, 95) - np.percentile(nzf, 5)
         assert 0.8 < s_s / s_f < 1.25
         assert os.path.exists(d + f"/OUT_F/L2/sim_L2_{stem}_mask.fits")
+
+
+def _scanned(nexp=3, scas=(4, 5)):
+    return [
+        (f"/in/x_F184_{163 + i}_{sca}.fits", "F184", 163 + i, sca)
+        for i in range(nexp) for sca in scas
+    ]
+
+
+def test_plan_jobs_seed_lattice():
+    """Seed sequence matches the reference driver: SCA k's i-th
+    exposure draws L1 seed seed0 + dseed*(k + 2*i*NSCA) and noise seed
+    one dseed*NSCA lattice step later (OpenUniverse_to_L1L2.py:49,108,
+    141) — never a +1 offset, which could collide with another SCA's
+    L1 seed."""
+    inputs, jobs = batch.plan_jobs(
+        _scanned(), output_dir="/o", cal_dir="/c", tag="T", seed=500,
+        dseed=10, temp_dir="/t",
+    )
+    iexp = {}
+    for (_, _, _, sca), (c1, c2) in zip(inputs, jobs):
+        i = iexp.get(sca, 0)
+        iexp[sca] = i + 1
+        assert c1["SEED"] == 500 + 10 * (sca + 2 * i * batch.NSCA)
+        assert c2["NOISE"]["SEED"] == c1["SEED"] + 10 * batch.NSCA
+    all_seeds = [c1["SEED"] for c1, _ in jobs] + [
+        c2["NOISE"]["SEED"] for _, c2 in jobs
+    ]
+    assert len(set(all_seeds)) == len(all_seeds)  # no collisions
+
+
+def test_plan_jobs_nmax_per_sca():
+    """--nmax bounds exposures PER SCA (the reference's Nmax truncates
+    each single-SCA task's runlist) — a flat file-list cut with
+    --sca=all would drop part of an exposure's focal plane."""
+    inputs, jobs = batch.plan_jobs(
+        _scanned(nexp=3, scas=(4, 5)), output_dir="/o", cal_dir="/c",
+        tag="T", seed=500, dseed=10, temp_dir="/t", nmax=2,
+    )
+    got = sorted((obsid, sca) for _, _, obsid, sca in inputs)
+    assert got == [(163, 4), (163, 5), (164, 4), (164, 5)]
+
+
+def test_scan_inputs_case_insensitive(tmp_path):
+    d = str(tmp_path)
+    open(d + "/Roman_truth_F184_163_4.FITS", "w").close()
+    open(d + "/Roman_truth_F184_164_4.fits", "w").close()
+    out = batch.scan_inputs(d, [4])
+    assert [(o, s) for _, _, o, s in out] == [(163, 4), (164, 4)]

@@ -308,3 +308,35 @@ def test_produced_caldir_calibrates(production, tmp_path):
     assert np.isfinite(data[good]).all()
     # slope units sane: sky-subtracted background ~ 0
     assert abs(np.median(data[good])) < 1.0
+
+
+def test_sigma_clip_mean_median_centered():
+    """sigma_clip_mean must reproduce astropy's sigma_clip defaults
+    (cenfunc='median', ddof=0 std, 5 iters) + nanmean — verified
+    against a direct numpy implementation, including a cosmic-ray-like
+    outlier that a MEAN-centered clip fails to reject."""
+    import numpy as np
+
+    from romanimpreprocess_tpu.calib.make_dark import sigma_clip_mean
+
+    rng = np.random.default_rng(11)
+    stack = rng.normal(1000.0, 5.0, (12, 6, 7)).astype(np.float32)
+    stack[3, 2, 2] += 500.0   # CR hit: must be clipped
+    stack[7, 0, 0] -= 300.0
+    stack[5, 1, 1] = np.nan   # nanmean semantics
+
+    def np_ref(a):
+        a = a.copy()
+        for _ in range(5):
+            med = np.nanmedian(a, axis=0)
+            std = np.nanstd(a, axis=0)  # ddof=0
+            bad = (a < med - 3 * std) | (a > med + 3 * std)
+            a[bad] = np.nan
+        return np.nanmean(a, axis=0)
+
+    got = np.asarray(sigma_clip_mean(stack))
+    want = np_ref(stack.astype(np.float64))
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-4)
+    # the CR pixel's average must sit near the clean mean, not be
+    # dragged ~40 DN upward as the unclipped (or mean-centered) stack is
+    assert abs(got[2, 2] - np.mean(np.delete(stack[:, 2, 2], 3))) < 5.0

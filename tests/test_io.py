@@ -87,3 +87,19 @@ def test_fits_header_file_roundtrip(tmp_path):
     h.tofile(p)
     h2 = fits_lite.Header.fromstring(open(p).read())
     assert h2["CRVAL1"] == 37.0 and h2["A_0_2"] == 2e-6
+
+
+def test_header_copy_isolates_comments():
+    """Header.copy must deep-copy COMMENT/HISTORY lists: appending a
+    comment to the copy must not mutate the original (sim_to_l1 copies
+    the truth header and adds a COMMENT before writing the sidecar)."""
+    from romanimpreprocess_tpu.io.fits_lite import Header
+
+    h = Header()
+    h["NAXIS"] = 2
+    h["COMMENT"] = "original comment"
+    h2 = h.copy()
+    h2["COMMENT"] = "sidecar note"
+    assert h._values["COMMENT"] == ["original comment"]
+    assert h2._values["COMMENT"] == ["original comment", "sidecar note"]
+    assert h2["NAXIS"] == 2
