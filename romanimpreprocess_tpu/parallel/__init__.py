@@ -18,6 +18,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..pipeline import l1_to_l2
 from ..utils import typefix
+from . import spatial  # noqa: F401  (row-shard latency axis)
 
 
 def sca_mesh(n_devices=None, devices=None):

@@ -1,0 +1,103 @@
+"""Row-sharded (spatial) single-SCA calibration on the virtual mesh.
+
+The spatially-sharded path must be the SAME math as the single-device
+core: integer outputs bit-exact, float maps within reduction-order
+drift.  XLA's SPMD partitioner owns the collectives (halo exchange for
+IPC/saturation-grow, all-reduces for the refpix/sky medians); there is
+no hand-sharded fork to test separately — these gates pin the whole
+partitioned execution.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from romanimpreprocess_tpu import benchlib
+from romanimpreprocess_tpu.parallel import spatial
+from romanimpreprocess_tpu.pipeline import l1_to_l2
+
+
+def _run_pair(nside, n_devices, likelihood=False):
+    arr, plan, cfg, geom = benchlib.core_bundle(
+        nside=nside, likelihood=likelihood
+    )
+    core = l1_to_l2._get_core(plan, cfg, geom)
+    ref = core({k: jnp.asarray(v) for k, v in arr.items()})
+    ref = {k: np.asarray(v) for k, v in ref.items()}
+
+    mesh = spatial.row_mesh(n_devices)
+    dist_core = spatial.make_spatial_calibrator(plan, cfg, geom, mesh)
+    assert dist_core is core  # one source of truth, no forked math
+    out = jax.block_until_ready(
+        dist_core(spatial.shard_rows(mesh, arr, geom))
+    )
+    return ref, out
+
+
+def _gate(ref, out):
+    for k, a in ref.items():
+        b = np.asarray(out[k])
+        assert a.shape == b.shape, k
+        if a.dtype.kind in "ui":
+            assert np.array_equal(a, b), f"{k}: integer mismatch"
+        else:
+            drift = np.max(np.abs(a - b) / (1.0 + np.abs(a))) if a.size else 0.0
+            # chisq sums squared residuals over groups — reduction
+            # reassociation drifts it slightly more than the maps
+            tol = 1e-3 if k in ("chisq", "dumo") else 1e-4
+            assert drift < tol, f"{k}: drift {drift}"
+
+
+def test_row_sharded_core_matches_single_device():
+    ref, out = _run_pair(nside=64, n_devices=8)
+    _gate(ref, out)
+    # outputs stay row-sharded (no implicit gather at the end)
+    spec = out["slope"].sharding.spec
+    assert tuple(spec)[:1] == ("row",)
+
+
+def test_row_sharding_survives_uneven_division():
+    # 64 rows over 5 devices: device_put cannot pad uneven shards, so
+    # shard_rows falls back to replicated commits and XLA reshards
+    # inside the jit; results must be unchanged
+    ref, out = _run_pair(nside=64, n_devices=5)
+    _gate(ref, out)
+
+
+def test_row_sharded_likelihood_fitter():
+    ref, out = _run_pair(nside=64, n_devices=8, likelihood=True)
+    _gate(ref, out)
+
+
+def test_row_spec_classification():
+    nside, nb = 64, 4
+    assert tuple(spatial.row_spec(np.zeros((5, 64, 64)), nside, nb)) == (
+        None, "row", None,
+    )
+    assert tuple(spatial.row_spec(np.zeros((5, 56, 56)), nside, nb)) == (
+        None, "row", None,
+    )
+    assert tuple(spatial.row_spec(np.zeros((64, 16)), nside, nb)) == (
+        "row", None,
+    )
+    # metadata-scale arrays replicate
+    assert tuple(spatial.row_spec(np.zeros((5,)), nside, nb)) == ()
+    assert tuple(spatial.row_spec(np.float32(1.0), nside, nb)) == ()
+    assert tuple(spatial.row_spec(np.zeros((3, 3)), nside, nb)) == ()
+
+
+@pytest.mark.parametrize("n_devices", [2])
+def test_row_sharded_dq_determinism(n_devices):
+    # two identical sharded runs must agree bit-for-bit (uint32 DQ is
+    # the determinism contract; float maps must also be run-to-run
+    # identical for a fixed executable)
+    arr, plan, cfg, geom = benchlib.core_bundle(nside=64)
+    mesh = spatial.row_mesh(n_devices)
+    core = spatial.make_spatial_calibrator(plan, cfg, geom, mesh)
+    arrs = spatial.shard_rows(mesh, arr, geom)
+    o1 = jax.block_until_ready(core(arrs))
+    o2 = jax.block_until_ready(core(arrs))
+    for k in o1:
+        assert np.array_equal(np.asarray(o1[k]), np.asarray(o2[k])), k
