@@ -184,9 +184,7 @@ def make_linearity_file(out_path, sca, ramps, t_arrays, sref_frame_value,
     Optional ``pflat``/``dark_slope`` planes are carried into the tree
     as the reference files do.
     """
-    from datetime import datetime, timezone
-
-    from .. import __version__
+    from . import ref_meta
     from ..io import asdf_lite
 
     fit = fit_linearity(ramps, t_arrays, sref_frame_value,
@@ -194,18 +192,10 @@ def make_linearity_file(out_path, sca, ramps, t_arrays, sref_frame_value,
     ny, nx = fit["Smin"].shape
     tree = {
         "roman": {
-            "meta": {
-                "author": "romanimpreprocess_tpu.calib.characterize",
-                "description": "internal linearity fit",
-                "instrument": {"detector": f"WFI{sca:02d}", "name": "WFI"},
-                "origin": "PIT - romanimpreprocess_tpu",
-                "date": datetime.now(timezone.utc).isoformat(),
-                "pedigree": "DUMMY",
-                "reftype": "LINEARITYLEGENDRE",
-                "telescope": "ROMAN",
-                "useafter": "2020-01-01T00:00:00.000",
-                "software_version": __version__,
-            },
+            "meta": ref_meta(
+                "LINEARITYLEGENDRE", sca, "internal linearity fit",
+                author="romanimpreprocess_tpu.calib.characterize",
+            ),
             "data": fit["data"],
             "dq": fit["dq"],
             "Smin": fit["Smin"],

@@ -14,13 +14,11 @@ The sigma-clipped stack over the exposure axis — the reference's ~7 GB
 host loop — runs as a jitted fixed-iteration clip on device.
 """
 
-from datetime import datetime, timezone
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .. import __version__, pars
+from .. import pars
 from ..config import reads_to_pattern
 from ..io import asdf_lite, fits_lite
 
@@ -83,10 +81,11 @@ def sigma_clip_mean(stack, sigma=3.0, iters=5):
 
 
 def _ref_meta(reftype, sca, pattern_name="", ngroups=0):
-    return {
-        "author": "romanimpreprocess_tpu.calib",
-        "description": f"calib.make_dark ({reftype})",
-        "exposure": {
+    from . import ref_meta
+
+    return ref_meta(
+        reftype, sca, f"calib.make_dark ({reftype})",
+        exposure={
             "groupgap": 0,
             "ma_table_name": pattern_name,
             "ma_table_number": 1000000,
@@ -95,32 +94,30 @@ def _ref_meta(reftype, sca, pattern_name="", ngroups=0):
             "p_exptype": "WFI_IMAGE|",
             "type": "WFI_IMAGE",
         },
-        "instrument": {"detector": f"WFI{sca:02d}", "name": "WFI"},
-        "origin": "PIT - romanimpreprocess_tpu",
-        "date": datetime.now(timezone.utc).isoformat(),
-        "pedigree": "DUMMY",
-        "reftype": reftype,
-        "telescope": "ROMAN",
-        "useafter": "2020-01-01T00:00:00.000",
-        "software_version": __version__,
-    }
+    )
 
 
-def group_average_darks(noise_files, read_pattern, nside=None):
+def group_average_darks(noise_files, read_pattern):
     """Sigma-clipped group-averaged dark cube from converted dark ramps.
 
     ``noise_files``: paths of convert_exposure outputs (cube in HDU 1).
     Returns (ngrp, ny, nx_aug) float32.
+
+    Memory stays bounded at one (nfiles, ny, nx_aug) group stack (the
+    reference's "~7 GB for 100 darks" note, ``make_dark_file.py:62-64``)
+    while IO stays one pass: the files are opened memory-mapped, so the
+    group-outer loop reads only each group's pages — an eager reader
+    here would re-read every multi-GB ramp once per group.
     """
     ngrp = len(read_pattern)
+    opened = [fits_lite.open_fits(p, memmap=True) for p in noise_files]
     darkave = None
     for ig in range(ngrp):
+        lo, hi = read_pattern[ig][0], read_pattern[ig][-1] + 1
         stack = []
-        for path in noise_files:
-            hdus = fits_lite.open_fits(path)
-            cube = hdus[1].data[0]
-            lo, hi = read_pattern[ig][0], read_pattern[ig][-1] + 1
-            stack.append(cube[lo:hi].astype(np.float32).mean(axis=0))
+        for hdus in opened:
+            grp = hdus[1].data[0, lo:hi]  # decodes just these reads
+            stack.append(grp.astype(np.float32).mean(axis=0))
         stack = jnp.asarray(np.stack(stack))
         avg = np.asarray(sigma_clip_mean(stack))
         if darkave is None:

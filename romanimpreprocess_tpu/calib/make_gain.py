@@ -8,11 +8,9 @@ summary tables, expands to the full 4096^2 frame, and assembles the
 correlation-based couplings, and center normalization to 1.
 """
 
-from datetime import datetime, timezone
-
 import numpy as np
 
-from .. import __version__, pars
+from .. import pars
 from ..io import asdf_lite
 
 #: solid-waffle summary table column map (reference make_gain_file.py:21)
@@ -20,18 +18,9 @@ SW_COLS = {"X": 0, "Y": 1, "N": 2, "g": 5, "aH": 6, "aV": 7, "aD": 10}
 
 
 def _meta(reftype, sca):
-    return {
-        "author": "romanimpreprocess_tpu.calib",
-        "description": f"calib.make_gain ({reftype})",
-        "instrument": {"detector": f"WFI{sca:02d}", "name": "WFI"},
-        "origin": "PIT - romanimpreprocess_tpu",
-        "date": datetime.now(timezone.utc).isoformat(),
-        "pedigree": "DUMMY",
-        "reftype": reftype,
-        "telescope": "ROMAN",
-        "useafter": "2020-01-01T00:00:00.000",
-        "software_version": __version__,
-    }
+    from . import ref_meta
+
+    return ref_meta(reftype, sca, f"calib.make_gain ({reftype})")
 
 
 def load_summaries(summary_files):
@@ -154,8 +143,12 @@ def make_gain_and_ipc_files(summary_files, sca, outfile, nside=None,
         {
             "roman": {
                 "meta": _meta("IPC4D", sca),
+                # dq matches the ACTIVE-region kernel's spatial shape
+                # (reference trims Kernel_good[4:-4, 4:-4],
+                # make_gain_file.py:160-175) — a full-frame dq would be
+                # read 4 px misaligned by active-coordinate consumers
                 "data": K,
-                "dq": np.where(good_full, 0, 1).astype(np.uint32),
+                "dq": np.where(good_full[act, act], 0, 1).astype(np.uint32),
             },
             "notes": {"solid_waffle_config": config_notes},
         }

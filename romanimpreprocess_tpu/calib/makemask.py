@@ -10,11 +10,10 @@ plus the 2026_July gain-dq variant): flags
 - plus the linearity dq, and optionally the gain dq.
 """
 
-from datetime import datetime, timezone
-
 import numpy as np
 
-from .. import __version__, pars
+from .. import pars
+from . import ref_meta
 from ..dqflags import pixel
 from ..io import asdf_lite
 
@@ -58,18 +57,7 @@ def make_mask_file(out_path, sca, lin_file, dark_file, gain_file=None,
     asdf_lite.AsdfFile(
         {
             "roman": {
-                "meta": {
-                    "author": "romanimpreprocess_tpu.calib",
-                    "description": "calib.makemask",
-                    "instrument": {"detector": f"WFI{sca:02d}", "name": "WFI"},
-                    "origin": "PIT - romanimpreprocess_tpu",
-                    "date": datetime.now(timezone.utc).isoformat(),
-                    "pedigree": "DUMMY",
-                    "reftype": "MASK",
-                    "telescope": "ROMAN",
-                    "useafter": "2020-01-01T00:00:00.000",
-                    "software_version": __version__,
-                },
+                "meta": ref_meta("MASK", sca, "calib.makemask"),
                 "dq": dq,
             }
         }

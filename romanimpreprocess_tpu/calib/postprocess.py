@@ -15,31 +15,22 @@ Equivalent of the reference's ``postprocess_calfiles.py``
   production loop) run as one jitted device scan.
 """
 
-from datetime import datetime, timezone
+from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .. import __version__, pars
+from .. import pars
 from ..config import reads_to_pattern
 from ..io import asdf_lite, calfiles
 from ..ops import linearity, sky
 
 
 def _meta(reftype, sca):
-    return {
-        "author": "romanimpreprocess_tpu.calib",
-        "description": f"calib.postprocess ({reftype})",
-        "instrument": {"detector": f"WFI{sca:02d}", "name": "WFI"},
-        "origin": "PIT - romanimpreprocess_tpu",
-        "date": datetime.now(timezone.utc).isoformat(),
-        "pedigree": "DUMMY",
-        "reftype": reftype,
-        "telescope": "ROMAN",
-        "useafter": "2020-01-01T00:00:00.000",
-        "software_version": __version__,
-    }
+    from . import ref_meta
+
+    return ref_meta(reftype, sca, f"calib.postprocess ({reftype})")
 
 
 def make_pflat_file(lin_file, gain_file, out_path, sca, medfit_N=6):
@@ -92,15 +83,30 @@ def make_saturation_file(lin_file, out_path, sca):
     return out_path
 
 
+@partial(jax.jit, static_argnames=("ngrp", "nreads"))
+def _predicted_dark_run(dark_dn_frame, lin_pack, g_of_r, wgt, xref, *,
+                        ngrp, nreads):
+    def body(r, acc):
+        slin = dark_dn_frame * (r - xref)
+        s_raw, _ = linearity.invert_linearity(slin, lin_pack)
+        return acc.at[g_of_r[r]].add(s_raw * wgt[r], mode="drop")
+
+    acc0 = jnp.zeros((ngrp + 1,) + dark_dn_frame.shape, jnp.float32)
+    return jax.lax.fori_loop(0, nreads, body, acc0)[:ngrp]
+
+
 def predicted_dark_cube(dark_slope_act, lin_pack, read_pattern, frame_time,
                         xref):
     """Forward-model the dark through the inverse linearity per read and
     average within groups.  Jitted; returns (ngrp, na, na) float32.
 
     ``xref`` is the (fractional) frame index at which the linearized
-    signal is zero (the bias reference frame).
+    signal is zero (the bias reference frame).  The linearity pack and
+    the read->group tables ride as jit ARGUMENTS (closing the full-frame
+    coefficient stack over the jit would embed ~0.7 GB of HLO constants
+    — the axon relay's HTTP 413 failure mode — and re-create the
+    compiled program per call).
     """
-    na = dark_slope_act.shape[0]
     ngrp = len(read_pattern)
     lastread = read_pattern[-1][-1]
     g_of_r = np.full(lastread + 1, ngrp, np.int32)
@@ -110,21 +116,11 @@ def predicted_dark_cube(dark_slope_act, lin_pack, read_pattern, frame_time,
             g_of_r[r] = j
             wgt[r] = 1.0 / len(grp)
 
-    @jax.jit
-    def run(dark_dn_frame):
-        g_of_r_d = jnp.asarray(g_of_r)
-        wgt_d = jnp.asarray(wgt)
-
-        def body(r, acc):
-            slin = dark_dn_frame * (r - xref)
-            s_raw, _ = linearity.invert_linearity(slin, lin_pack)
-            return acc.at[g_of_r_d[r]].add(s_raw * wgt_d[r], mode="drop")
-
-        acc0 = jnp.zeros((ngrp + 1, na, na), jnp.float32)
-        acc = jax.lax.fori_loop(0, lastread + 1, body, acc0)
-        return acc[:ngrp]
-
-    return np.asarray(run(jnp.asarray(dark_slope_act * frame_time)))
+    return np.asarray(_predicted_dark_run(
+        jnp.asarray(dark_slope_act * frame_time), lin_pack,
+        jnp.asarray(g_of_r), jnp.asarray(wgt), jnp.float32(xref),
+        ngrp=ngrp, nreads=lastread + 1,
+    ))
 
 
 def make_biascorr_file(lin_file, dark_file, out_path, sca, reads,

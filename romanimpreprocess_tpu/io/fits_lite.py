@@ -279,18 +279,74 @@ def write(path, hdus, overwrite=True):
             f.write(_encode_hdu(hdu, primary=(i == 0)))
 
 
-def open_fits(path):
-    """Read all image HDUs from a FITS file. Returns an HDUList."""
-    with open(path, "rb") as f:
-        buf = f.read()
+def _apply_scaling(data, bitpix, bzero, bscale):
+    """FITS BZERO/BSCALE decode (incl. the unsigned-int conventions)."""
+    if bzero == 32768 and bitpix == 16:
+        return (data.astype(np.int32) + 32768).astype(np.uint16)
+    if bzero == 2147483648 and bitpix == 32:
+        return (data.astype(np.int64) + 2147483648).astype(np.uint32)
+    if bzero != 0 or bscale != 1:
+        return data * bscale + bzero
+    return data.astype(data.dtype.newbyteorder("="))
+
+
+class _ScaledView:
+    """Lazy BZERO/BSCALE-decoded view over a memory-mapped data section.
+
+    Slicing reads only the touched pages and decodes just that slice —
+    astropy's lazy-``.data`` behavior, which the calibration builders
+    rely on to stream multi-GB dark ramp cubes group by group
+    (reference ``make_dark_file.py:53-69`` iterates groups over ~100
+    files; eager reads would re-read every file once per group).
+    """
+
+    def __init__(self, raw, bitpix, bzero, bscale):
+        self._raw = raw
+        self._bitpix = bitpix
+        self._bzero = bzero
+        self._bscale = bscale
+        self.shape = raw.shape
+        self.ndim = raw.ndim
+
+    def __len__(self):
+        return self.shape[0]
+
+    def __getitem__(self, idx):
+        return _apply_scaling(
+            np.asarray(self._raw[idx]), self._bitpix, self._bzero,
+            self._bscale,
+        )
+
+    def __array__(self, dtype=None, copy=None):
+        out = _apply_scaling(
+            np.asarray(self._raw), self._bitpix, self._bzero, self._bscale
+        )
+        return out.astype(dtype) if dtype is not None else out
+
+
+def open_fits(path, memmap=False):
+    """Read all image HDUs from a FITS file. Returns an HDUList.
+
+    With ``memmap=True`` the data sections are memory-mapped and each
+    HDU's ``.data`` is a :class:`_ScaledView` — indexing decodes only
+    the requested slice, so group-sliced reads of large ramp cubes
+    touch only their pages.
+    """
+    if memmap:
+        buf = np.memmap(path, dtype=np.uint8, mode="r")
+        size = buf.size
+    else:
+        with open(path, "rb") as f:
+            buf = f.read()
+        size = len(buf)
     hdus = HDUList()
     pos = 0
-    while pos + BLOCK <= len(buf):
+    while pos + BLOCK <= size:
         # read header blocks until END card
         htext = ""
         end_found = False
-        while pos + BLOCK <= len(buf) and not end_found:
-            block = buf[pos : pos + BLOCK].decode("ascii", "replace")
+        while pos + BLOCK <= size and not end_found:
+            block = bytes(buf[pos : pos + BLOCK]).decode("ascii", "replace")
             pos += BLOCK
             htext += block
             for i in range(0, BLOCK, 80):
@@ -309,17 +365,15 @@ def open_fits(path):
         if naxis > 0 and all(shape):
             dt = np.dtype(_FROM_BITPIX[bitpix])
             nbytes = int(np.prod(shape)) * dt.itemsize
-            data = np.frombuffer(buf[pos : pos + nbytes], dtype=dt).reshape(shape)
             bzero = header.get("BZERO", 0)
             bscale = header.get("BSCALE", 1)
-            if bzero == 32768 and bitpix == 16:
-                data = (data.astype(np.int32) + 32768).astype(np.uint16)
-            elif bzero == 2147483648 and bitpix == 32:
-                data = (data.astype(np.int64) + 2147483648).astype(np.uint32)
-            elif bzero != 0 or bscale != 1:
-                data = data * bscale + bzero
+            if memmap:
+                raw = buf[pos : pos + nbytes].view(dt).reshape(shape)
+                data = _ScaledView(raw, bitpix, bzero, bscale)
             else:
-                data = data.astype(data.dtype.newbyteorder("="))
+                raw = np.frombuffer(buf[pos : pos + nbytes], dtype=dt
+                                    ).reshape(shape)
+                data = _apply_scaling(raw, bitpix, bzero, bscale)
             pos += nbytes + ((-nbytes) % BLOCK)
         hdus.append(HDU(data=data, header=header))
     return hdus

@@ -104,16 +104,24 @@ def read_sca_image(infile_format, n1, ptype, scanum, mask=None):
 
 
 def write_text(image, origin, size, val, string):
-    """Write text into a 2-D uint8 image plane using PIL's bitmap font."""
+    """Write text into a 2-D uint8 image plane using PIL's bitmap font.
+
+    Glyphs are rendered at the font's native ~6x12 cell, scaled by
+    ``size`` with nearest-neighbour, and pre-flipped vertically so they
+    read upright after the panel's final ``arr[::-1]`` save (the
+    reference pre-flips its bitmap font the same way,
+    ``fpaplot.py:150-182`` ``letters[ord(c), ::-1, :]``).
+    """
     from PIL import Image, ImageDraw, ImageFont
 
-    h, w = 12 * size, 6 * size * max(len(string), 1)
-    txt = Image.new("L", (w, h), 0)
+    bw, bh = 6 * max(len(string), 1), 12
+    txt = Image.new("L", (bw, bh), 0)
     draw = ImageDraw.Draw(txt)
     draw.text((0, 0), string, fill=255, font=ImageFont.load_default())
+    h, w = bh * size, bw * size
     card = np.asarray(
         txt.resize((w, h), Image.NEAREST), dtype=np.uint8
-    )
+    )[::-1]
     y0, x0 = origin
     y1 = min(y0 + h, image.shape[-2])
     x1 = min(x0 + w, image.shape[-1])

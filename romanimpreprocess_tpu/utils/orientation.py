@@ -8,6 +8,8 @@ FPA -> INT -> BST -> J2000 rotations.  Intended for plotting / layout
 decisions, not precision astrometry.
 """
 
+import os
+
 import numpy as np
 
 from ..io import asdf_lite
@@ -76,8 +78,8 @@ def get_orientation(afile):
 
     ``afile`` is an open tree (dict-like with ``roman.meta``) or a path.
     """
-    if isinstance(afile, str):
-        meta = asdf_lite.open(afile)["roman"]["meta"]
+    if isinstance(afile, (str, os.PathLike)):
+        meta = asdf_lite.open(os.fspath(afile))["roman"]["meta"]
     else:
         meta = afile["roman"]["meta"]
     ra_ref = meta["wcsinfo"]["ra_ref"] * DEG

@@ -29,9 +29,13 @@ def fix(tree, demote_var_to_f16=False):
     for field in ("chisq", "dumo"):
         if field not in roman:
             roman[field] = np.zeros(shape, dtype=np.float16)
-            dummyfields.append(field)
+            # the reference's 'roman.<field>' naming (typefix.py:29)
+            dummyfields.append(f"roman.{field}")
     if dummyfields:
-        roman.setdefault("meta", {})["dummyfields"] = dummyfields
+        meta = roman.setdefault("meta", {})
+        # APPEND to any earlier stage's list (the reference does;
+        # overwriting would silently drop prior provenance entries)
+        meta["dummyfields"] = list(meta.get("dummyfields", [])) + dummyfields
 
     meta = roman.get("meta", {})
     exposure = meta.get("exposure", {})

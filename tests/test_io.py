@@ -103,3 +103,59 @@ def test_header_copy_isolates_comments():
     assert h._values["COMMENT"] == ["original comment"]
     assert h2._values["COMMENT"] == ["original comment", "sidecar note"]
     assert h2["NAXIS"] == 2
+
+
+def test_open_fits_memmap_lazy_slices(tmp_path):
+    """memmap=True must return lazy views whose slices decode exactly
+    as the eager reader (incl. the uint16 BZERO convention) — the dark
+    builder streams multi-GB ramp cubes group by group through this."""
+    import numpy as np
+
+    from romanimpreprocess_tpu.io import fits_lite
+
+    cube = (np.arange(3 * 4 * 5).reshape(1, 3, 4, 5) * 1000 + 40000
+            ).astype(np.uint16)
+    f32 = np.linspace(-1, 1, 20).reshape(4, 5).astype(np.float32)
+    p = str(tmp_path / "ramp.fits")
+    fits_lite.write(p, [
+        fits_lite.PrimaryHDU(),
+        fits_lite.ImageHDU(cube, name="CUBE"),
+        fits_lite.ImageHDU(f32, name="SLOPE"),
+    ])
+
+    eager = fits_lite.open_fits(p)
+    lazy = fits_lite.open_fits(p, memmap=True)
+    assert lazy[1].data.shape == cube.shape
+    # group-sliced read decodes only that slice, identically to eager
+    got = lazy[1].data[0, 1:3]
+    assert got.dtype == np.uint16
+    assert np.array_equal(got, eager[1].data[0, 1:3])
+    assert np.array_equal(np.asarray(lazy[2].data), f32)
+    # full materialization also matches
+    assert np.array_equal(np.asarray(lazy[1].data), cube)
+
+
+def test_write_text_upright_after_flip():
+    """write_text pre-flips glyphs so they read upright after the FPA
+    panel's final arr[::-1] save (reference pre-flips its bitmap font,
+    fpaplot.py:150-182): the flipped-back card must be top-heavy the
+    same way as a directly rendered PIL text card."""
+    import numpy as np
+
+    from romanimpreprocess_tpu.utils.fpaplot import write_text
+
+    img = np.zeros((40, 80), np.uint8)
+    write_text(img, (2, 2), 2, 255, "T")
+    assert img.any()
+    ys, xs = np.nonzero(img)
+    # in-buffer the glyph must be BOTTOM-heavy (it is stored flipped);
+    # a 'T' rendered upright has its bar at the top, so after the
+    # arr[::-1] display flip the bar lands at the displayed top.
+    flipped = img[::-1]
+    fy, _ = np.nonzero(flipped)
+    bar_row = fy.min()
+    bar_width = (flipped[bar_row] > 0).sum()
+    stem_width = (flipped[fy.max()] > 0).sum()
+    assert bar_width > stem_width  # T-bar on top once displayed
+    # size=2 doubles the glyph: at least 12 px tall in-buffer
+    assert ys.max() - ys.min() + 1 >= 12

@@ -89,3 +89,25 @@ def test_denoise_from_list():
         np.array([1, 1, 2, 3]), np.array([0, 1, 2, 4]), wt
     )
     assert np.allclose(a, b)
+
+
+def test_get_orientation_accepts_path(tmp_path):
+    """pathlib.Path inputs must route through asdf_lite.open like str
+    (reference accepts str | pathlib.Path, orientation.py:42)."""
+    import pathlib
+
+    from romanimpreprocess_tpu.io import asdf_lite
+
+    tree = {
+        "roman": {
+            "meta": {
+                "wcsinfo": {"ra_ref": 10.0, "dec_ref": -20.0,
+                            "roll_ref": 30.0},
+            }
+        }
+    }
+    p = tmp_path / "l1.asdf"
+    asdf_lite.AsdfFile(tree).write_to(str(p))
+    o_path = get_orientation(pathlib.Path(p))
+    o_tree = get_orientation(tree)
+    assert o_path["ra"] == o_tree["ra"] and o_path["pa"] == o_tree["pa"]
