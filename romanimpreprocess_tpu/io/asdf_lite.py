@@ -23,6 +23,7 @@ API is intentionally asdf-like::
 """
 
 import io as _io
+import re as _re
 import struct
 
 import numpy as np
@@ -100,7 +101,15 @@ def _make_loader():
     def _any_scalar(loader, node):
         return loader.construct_scalar(node)
 
-    Loader.add_constructor(NDARRAY_TAG, _ndarray)
+    # prefix-match every core/ndarray-* schema version: standard-asdf
+    # writers tag arrays with whatever version their ASDF standard
+    # pins (1.0.0 here, 1.1.0 in asdf-standard 1.6), and an unmatched
+    # version would fall through to the plain-dict fallback below —
+    # silently replacing the array with its metadata mapping
+    Loader.add_multi_constructor(
+        "tag:stsci.edu:asdf/core/ndarray-",
+        lambda loader, suffix, node: _ndarray(loader, node),
+    )
     # Unknown asdf tags (asdf-1.1.0 root, software, history entries, units...)
     # degrade gracefully to plain containers.
     Loader.add_multi_constructor(
@@ -286,8 +295,12 @@ def open(path):  # noqa: A001 - mirror asdf.open
     """Open an ASDF file and return an :class:`AsdfFile` with a resolved tree."""
     with _io.open(path, "rb") as f:
         data = f.read()
-    # YAML document runs until the '...' end-of-document marker
-    end = data.find(b"\n...")
+    # YAML document runs until the '...' end-of-document marker — which
+    # must be ALONE on its line (a tree string/block scalar whose line
+    # happens to start with '...' is document content, and a bare
+    # substring find would truncate the parse there)
+    m = _re.search(rb"\n\.\.\.[ \t\r]*\n", data)
+    end = m.start() if m else -1
     if end < 0:
         blk = data.find(BLOCK_MAGIC)
         end = blk if blk >= 0 else len(data)

@@ -17,11 +17,10 @@ optional dark_decay (decay_table per detector).
 from dataclasses import dataclass, field
 from typing import Optional
 
-import threading
-
 import numpy as np
 
 from . import asdf_lite
+from ..utils import hostcache
 
 
 @dataclass
@@ -149,8 +148,7 @@ def load_caldir(caldir):
     return CalPack(**pack)
 
 
-_PACK_CACHE = {}
-_PACK_CACHE_LOCK = threading.Lock()
+_PACK_CACHE = hostcache.BoundedCache(20)
 
 
 def load_caldir_cached(caldir, max_entries=20):
@@ -165,14 +163,8 @@ def load_caldir_cached(caldir, max_entries=20):
     if hit is not None:
         return hit
     pack = load_caldir(caldir)
-    # calibrate_fpa's thread pool calls this concurrently: evict and
-    # insert under a lock, return the local value (a concurrent pop
-    # during next(iter(...)) raises RuntimeError)
-    with _PACK_CACHE_LOCK:
-        while len(_PACK_CACHE) >= max_entries:
-            _PACK_CACHE.pop(next(iter(_PACK_CACHE)), None)
-        _PACK_CACHE[key] = pack
-    return pack
+    _PACK_CACHE.capacity = int(max_entries)
+    return _PACK_CACHE.put(key, pack)
 
 
 def amp33_optimal_slope(pack):

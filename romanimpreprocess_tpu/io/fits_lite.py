@@ -103,12 +103,23 @@ class Header:
         if key in ("COMMENT", "HISTORY"):
             return f"{key:<8s}{str(value):<72s}"[:80]
         sval, right = self._format_value(value)
+        if not right and len(sval) > 70:
+            # a string value longer than the card can hold: truncate the
+            # VALUE but keep the closing quote (a blind card[:80] slice
+            # would drop it, writing a corrupt open-quoted card that
+            # readers misparse; astropy warns-and-truncates the same way)
+            inner = sval[1:-1][:67]
+            if inner.endswith("'") and not inner.endswith("''"):
+                inner = inner[:-1]  # don't split an escaped quote pair
+            sval = f"'{inner}'"
         if right:
             card = f"{key:<8s}= {sval:>20s}"
         else:
             card = f"{key:<8s}= {sval:<20s}"
         comment = self._comments.get(key)
-        if comment:
+        # append the comment only if it fits (a sliced-off separator
+        # would corrupt the value field for value-type-sniffing readers)
+        if comment and len(card) + 3 < 80:
             card += f" / {comment}"
         return f"{card:<80s}"[:80]
 

@@ -26,6 +26,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..utils import hostcache
+
 #: tap order: index t corresponds to (dy, dx) = TAPS[t]
 TAPS = [
     (-1, -1), (-1, 0), (-1, 1),
@@ -43,10 +45,8 @@ def _pad_geom(na, th):
     return rows_out, width, n_tiles, rows_in
 
 
-import threading
-
-_PAD_CACHE = {}
-_PAD_CACHE_LOCK = threading.Lock()
+# each 4096^2 padded slab is ~0.6 GB host RAM — hold at most two
+_PAD_CACHE = hostcache.BoundedCache(2)
 
 
 def kernel_planes_padded(kernel, th=32):
@@ -71,15 +71,9 @@ def kernel_planes_padded(kernel, th=32):
     kp[:, th : th + na, 2 : 2 + na] = np.asarray(
         kernel, np.float32
     ).reshape(9, na, na)
-    # each 4096^2 slab is ~0.6 GB host RAM — hold at most two, evicting
-    # oldest under a lock (calibrate_fpa's thread pool calls this
-    # concurrently; a pop during next(iter(...)) raises RuntimeError);
-    # return the local value so eviction can't race an insert-re-read
-    with _PAD_CACHE_LOCK:
-        while len(_PAD_CACHE) > 1:
-            _PAD_CACHE.pop(next(iter(_PAD_CACHE)), None)
-        _PAD_CACHE[ck] = (kp, kernel)  # strong ref guards the id key
-    return kp
+    # strong ref to `kernel` guards the id key (hostcache holds the
+    # value; see utils.hostcache for the concurrency contract)
+    return _PAD_CACHE.put(ck, (kp, kernel))[0]
 
 
 def _kernel_padded_or_pad(kernel, na, th, width, rows_in):

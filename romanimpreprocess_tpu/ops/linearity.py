@@ -10,9 +10,11 @@ The calibration model: raw signal S (DN_raw) maps to linearized signal
 
 The inverse (used in L1 synthesis) is a *fixed 24-iteration bisection*
 on z in (-1, 1) — the reference's author-flagged slowest step
-(``ipc_linearity.py:369-371``).  Here it is a ``lax.fori_loop`` whose
-body is one (unrolled) Legendre evaluation: fully branch-free, vectorized
-over all pixels at once, and fused by XLA.
+(``ipc_linearity.py:369-371``).  Here the 24 iterations are a
+deliberately UNROLLED Python loop (see ``invert_linearity``: a
+``fori_loop`` body would re-read the coefficient stack from HBM every
+iteration): fully branch-free, vectorized over all pixels at once, and
+fused by XLA.
 """
 
 from typing import NamedTuple

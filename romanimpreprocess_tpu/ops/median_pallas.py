@@ -56,8 +56,15 @@ def block_nanmedian_fused(arr, N, interpret=False, vmem_mb=96):
     """Drop-in for ``sky.block_nanmedian`` (TPU Pallas path).
 
     Lane-pads each block to a 128 multiple with NaN (excluded from the
-    counts) so any width works.
+    counts) so any block WIDTH works; the block-count-per-side N is
+    capped at 128 by the (8, 128) output tile — finer sky grids must
+    use the dense ``sky.block_nanmedian`` (``pallas=False``).
     """
+    if N > 128:
+        raise ValueError(
+            f"block_nanmedian_fused supports at most 128 blocks per "
+            f"side (got N={N}); use sky.block_nanmedian (pallas=False)"
+        )
     ny, nx = arr.shape
     ky, kx = ny // N, nx // N
     py, px = (ny % N) // 2, (nx % N) // 2

@@ -72,11 +72,16 @@ def flag_saturation(data, rdq, pdq, sat_thresh, sat_dq,
 
     # forward propagation: cumulative any over groups
     sat = jnp.cumsum(sat.astype(jnp.int32), axis=0) > 0
-    # retro-flag `backup` earlier resultants: a group is flagged if any of
-    # groups [g, g+backup] is saturated
+    # retro-flag `backup` earlier resultants: a group is flagged if any
+    # of groups [g, g+backup] is saturated.  Shift the PRE-LOOP mask —
+    # shifting the running result compounds the shifts (backup=2 would
+    # retro-flag 2^2-1=3 groups) and, the mask being monotone in g,
+    # silently widens every bright pixel's truncation.
+    sat0 = sat
     for b in range(1, backup + 1):
         sat = sat | jnp.concatenate(
-            [sat[b:], jnp.zeros((b,) + sat.shape[1:], dtype=bool)], axis=0
+            [sat0[b:], jnp.zeros((b,) + sat0.shape[1:], dtype=bool)],
+            axis=0,
         )
     # spatial grow
     sat = _dilate(sat, n_pix_grow_sat)

@@ -196,7 +196,10 @@ def pixelarea(wcs, N=4088):
 
     Same equal-area azimuthal reprojection + central-difference Jacobian
     as the reference (``coordutils.py:59-82``), with the projection pole
-    chosen in the hemisphere opposite the first pixel.
+    chosen in the SAME hemisphere as the first pixel (so the field sits
+    near the pole, where the equal-area mapping is well-conditioned —
+    do not "fix" this to the opposite pole, which would put the field
+    near the degenerate antipode).
     """
     sp = np.linspace(-1, N, N + 2)
     xx, yy = np.meshgrid(sp, sp)

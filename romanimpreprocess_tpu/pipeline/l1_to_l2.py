@@ -20,7 +20,6 @@ process log.
 
 import os
 import sys
-import threading
 import time
 
 import jax
@@ -33,7 +32,7 @@ from ..dqflags import group as gdq
 from ..dqflags import pixel
 from ..io import asdf_lite, calfiles, fits_lite
 from ..ops import ipc, ipc_pallas, likely, linearity, linearity_pallas, mask, ramp, refsub, saturation, sky, wcsutils
-from ..utils import typefix
+from ..utils import hostcache, typefix
 from ..utils.processlog import ProcessLog
 from . import oututils
 
@@ -340,8 +339,10 @@ def make_core(plan, cfg, geom):
 # Host driver
 # --------------------------------------------------------------------------
 
-_IPC_PRECAL_CACHE = {}
-_HOST_CACHE_LOCK = threading.Lock()
+# cap 25 > the 18-SCA focal plane so per-SCA cal packs stay resident
+# across a production sweep (see utils.hostcache for the thread-pool
+# concurrency contract)
+_IPC_PRECAL_CACHE = hostcache.BoundedCache(25)
 
 
 def ipc_precal(flat, dark_slope, gain, ipc_kernel, nborder):
@@ -379,18 +380,11 @@ def ipc_precal(flat, dark_slope, gain, ipc_kernel, nborder):
         )
     )
     out = (corr[0] / gain_act, corr[1] / gain_flat)
-    # called from calibrate_fpa's thread pool: evict-oldest + insert
-    # under a lock (a concurrent pop during next(iter(...)) raises
-    # RuntimeError), and return the local value rather than re-reading
-    # the dict.  Cap 24 > the 18-SCA focal plane so per-SCA cal packs
-    # stay resident across a production sweep.
-    with _HOST_CACHE_LOCK:
-        while len(_IPC_PRECAL_CACHE) > 24:
-            _IPC_PRECAL_CACHE.pop(next(iter(_IPC_PRECAL_CACHE)), None)
-        # keep strong refs to the inputs so a GC'd array can't alias
-        # a stale id-keyed entry
-        _IPC_PRECAL_CACHE[ck] = (out, (flat, dark_slope, gain, ipc_kernel))
-    return out
+    # strong refs to the inputs in the value so a GC'd array can't
+    # alias a stale id-keyed entry
+    return _IPC_PRECAL_CACHE.put(
+        ck, (out, (flat, dark_slope, gain, ipc_kernel))
+    )[0]
 
 
 _CORE_CACHE = {}
@@ -440,7 +434,7 @@ def _get_core(plan, cfg, geom):
     return _CORE_CACHE[key]
 
 
-_WCS_CACHE = {}
+_WCS_CACHE = hostcache.BoundedCache(65)
 
 
 def wcs_from_config(config):
@@ -457,11 +451,7 @@ def wcs_from_config(config):
         return hit[1]
     with open(path) as f:
         hdr = fits_lite.Header.fromstring(f.read())
-    with _HOST_CACHE_LOCK:
-        while len(_WCS_CACHE) > 64:
-            _WCS_CACHE.pop(next(iter(_WCS_CACHE)), None)
-        _WCS_CACHE[path] = (mt, hdr)
-    return hdr
+    return _WCS_CACHE.put(path, (mt, hdr))[1]
 
 
 def calibrateimage(config, verbose=False, return_arrays=False):

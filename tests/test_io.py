@@ -159,3 +159,57 @@ def test_write_text_upright_after_flip():
     assert bar_width > stem_width  # T-bar on top once displayed
     # size=2 doubles the glyph: at least 12 px tall in-buffer
     assert ys.max() - ys.min() + 1 >= 12
+
+
+def test_asdf_ndarray_tag_version_tolerant(tmp_path):
+    """Files written by newer asdf-standard versions tag arrays
+    !core/ndarray-1.1.0; the loader must construct them as arrays, not
+    silently hand back the metadata dict."""
+    import numpy as np
+
+    from romanimpreprocess_tpu.io import asdf_lite
+
+    p = str(tmp_path / "x.asdf")
+    arr = np.arange(12, dtype=np.float32).reshape(3, 4)
+    asdf_lite.AsdfFile({"roman": {"data": arr}}).write_to(p)
+    raw = open(p, "rb").read()
+    raw2 = raw.replace(b"core/ndarray-1.0.0", b"core/ndarray-1.1.0")
+    assert raw2 != raw
+    open(p, "wb").write(raw2)
+    got = np.asarray(asdf_lite.open(p)["roman"]["data"])
+    assert np.array_equal(got, arr)
+
+
+def test_asdf_doc_end_marker_not_matched_in_content(tmp_path):
+    """A tree string line starting with '...' must not be mistaken for
+    the YAML end-of-document marker (which is only '...' alone on a
+    line)."""
+    import numpy as np
+
+    from romanimpreprocess_tpu.io import asdf_lite
+
+    p = str(tmp_path / "y.asdf")
+    tree = {"roman": {
+        "meta": {"history": "step one\n...continued on next line\nend"},
+        "data": np.ones((2, 2), np.float32),
+    }}
+    asdf_lite.AsdfFile(tree).write_to(p)
+    f = asdf_lite.open(p)
+    assert "...continued" in f["roman"]["meta"]["history"]
+    assert np.asarray(f["roman"]["data"]).shape == (2, 2)
+
+
+def test_fits_header_long_string_card_stays_valid(tmp_path):
+    """String values longer than a card must be truncated WITH the
+    closing quote (a corrupt open-quoted card misparses downstream)."""
+    from romanimpreprocess_tpu.io import fits_lite
+
+    h = fits_lite.Header()
+    h["SRCFILE"] = "/a/very/long/provenance/path/" + "x" * 80
+    card = h._card("SRCFILE", h["SRCFILE"])
+    assert len(card) == 80
+    body = card[10:].rstrip()
+    assert body.startswith("'") and body.endswith("'")
+    # round-trips through the parser as a (truncated) string
+    h2 = fits_lite.Header.fromstring(h.tostring())
+    assert h2["SRCFILE"].startswith("/a/very/long")

@@ -205,6 +205,27 @@ def test_saturation_flags():
     assert rdq2[5, 2, 2] & (64 | 1)  # AD_FLOOR | DO_NOT_USE
 
 
+def test_saturation_backup2_exact_width():
+    """backup=2 must retro-flag exactly the TWO groups before first
+    saturation (the pre-fix loop shifted its own output, compounding to
+    2**backup - 1 = 3 groups and silently over-truncating bright
+    ramps)."""
+    ngrp = 8
+    data = np.zeros((ngrp, 8, 8), np.float32)
+    data[:, 4, 4] = [0, 0, 0, 0, 0, 0, 2000, 3000]  # saturates at group 6
+    rdq2, _ = saturation.flag_saturation(
+        jnp.array(data),
+        jnp.zeros((ngrp, 8, 8), jnp.uint32),
+        jnp.zeros((8, 8), jnp.uint32),
+        jnp.full((8, 8), 1000, jnp.float32),
+        jnp.zeros((8, 8), jnp.uint32),
+        backup=2, skip_first=1, n_pix_grow_sat=0,
+    )
+    sat = (np.array(rdq2)[:, 4, 4] & 2) != 0
+    assert list(sat) == [False, False, False, False,
+                         True, True, True, True]
+
+
 def test_saturation_no_sat_check():
     data = np.full((3, 8, 8), 5000, np.float32)
     satdq = np.zeros((8, 8), np.uint32)
