@@ -56,7 +56,10 @@ def _stats_stack(slope_ideal, diffs, images, errs, count, s1, s2, nside,
     return np.stack(
         [
             slope_ideal,
-            embed(np.median(diffs, axis=0)),
+            # full-frame (the reference's diffs memmap keeps the
+            # 4-pixel reference border; zeroing it would blind the
+            # border ramp diagnostic this slice exists for)
+            np.median(diffs, axis=0),
             embed(np.median(images, axis=0)),
             embed(count),
             embed(mean),
@@ -88,7 +91,7 @@ def run_many(config1, config2, nrun, outfile=None, seed_step=10):
 
     slope_ideal = _ideal_slope(config1, nside, act)
 
-    diffs = np.zeros((nrun, na, na), np.float32)
+    diffs = np.zeros((nrun, nside, nside), np.float32)
     images = np.zeros((nrun, na, na), np.float32)
     errs = np.zeros((nrun, na, na), np.float32)
     count = np.zeros((na, na), np.float32)
@@ -105,7 +108,7 @@ def run_many(config1, config2, nrun, outfile=None, seed_step=10):
         r = tree["roman"]
 
         l1d = np.asarray(l1["data"], np.float32)
-        diffs[j] = (l1d[-1] - l1d[1])[act, act]
+        diffs[j] = l1d[-1] - l1d[1]
         images[j] = np.asarray(r["data"])
         errs[j] = np.asarray(r["err"])
         w = ~np.asarray(mask_j(jnp.asarray(r["dq"])))
@@ -161,6 +164,17 @@ def run_many_mesh(config1, config2, nrun, outfile=None, mesh=None,
             "run_many_mesh does not model EXTRACT_REF reference-read "
             "subtraction; use run_many for EXTRACT_REF configs"
         )
+    if str(config1.get("CALDIR")) != str(config2.get("CALDIR")):
+        # the staged exposure core builds BOTH the sim-side arrays and
+        # the calibration bundle from config2's pack — a mismatched-cal
+        # validation (sim with set A, calibrate with set B, e.g. to
+        # quantify dark/linearity-error bias) would silently lose the
+        # mismatch physics and report a bias-free chain
+        raise ValueError(
+            "run_many_mesh requires config1[CALDIR] == config2[CALDIR] "
+            "(the staged core sims and calibrates from one pack); use "
+            "run_many for mismatched-calibration validations"
+        )
 
     x = s2l.run_config(config1)  # L1 + sidecar + truth rate
     pack = calfiles.load_caldir_cached(config2["CALDIR"])
@@ -204,8 +218,7 @@ def run_many_mesh(config1, config2, nrun, outfile=None, mesh=None,
             out["slope_err_read"], out["slope_err_poisson"]
         )[nb:-nb, nb:-nb]
         masked = PixelMask1.build(out["pdq"][nb:-nb, nb:-nb])
-        ld = (u16[-1].astype(jnp.float32)
-              - u16[1].astype(jnp.float32))[nb:-nb, nb:-nb]
+        ld = u16[-1].astype(jnp.float32) - u16[1].astype(jnp.float32)
         return ld, sl, err, masked
 
     post_v = m.wrap(_post)
@@ -243,7 +256,7 @@ def run_many_mesh(config1, config2, nrun, outfile=None, mesh=None,
         },
     )
 
-    diffs = np.zeros((nrun, na, na), np.float32)
+    diffs = np.zeros((nrun, nside, nside), np.float32)
     images = np.zeros((nrun, na, na), np.float32)
     errs = np.zeros((nrun, na, na), np.float32)
     count = np.zeros((na, na), np.float32)

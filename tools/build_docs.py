@@ -21,6 +21,9 @@ LINK_RE = re.compile(r"\[[^\]]*\]\(([^)#]+)(#[^)]*)?\)")
 
 def doc_files():
     out = [os.path.join(ROOT, "README.md")]
+    claude = os.path.join(ROOT, "CLAUDE.md")  # link-checked, not rendered
+    if os.path.exists(claude):
+        out.append(claude)
     d = os.path.join(ROOT, "docs")
     for f in sorted(os.listdir(d)):
         if f.endswith(".md"):

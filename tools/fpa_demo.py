@@ -152,10 +152,35 @@ def main():
     cks = np.asarray(cks)  # fetch synchronizes the whole batch
     t_exp = time.perf_counter() - t0
     assert np.isfinite(cks).all()
+
+    # REAL lane-0 parity (not just finiteness): the batched-RNG
+    # contract pins lane 0 to a single-SCA staged run keyed with
+    # split(key, n)[0] (docs/parallel.md), modulo vmap reduction-order
+    # drift — run it and compare before reporting parity
+    import jax.numpy as jnp
+
+    run1 = noise_core.make_staged_exposure_runner(
+        prep, pack, ["Rz4S2", "O", "PbrS2"]
+    )
+    arr1 = dict(
+        arr,
+        fill_c_pink=np.float32(batch["fill_c_pink"][0]),
+        fill_u_pink=np.float32(batch["fill_u_pink"][0]),
+    )
+    k0 = jax.random.split(jax.random.key(17, impl="rbg"), ndev)[0]
+    cube1, _base1, cks1 = run1(
+        k0, {k: jax.device_put(jnp.asarray(v)) for k, v in arr1.items()}
+    )
+    dd = np.abs(np.asarray(cube)[0] - np.asarray(cube1))
+    assert dd.mean() < 5e-3 and dd.max() < 1.0, (
+        f"lane-0 exposure parity failed: mean {dd.mean()}, max {dd.max()}"
+    )
     print(json.dumps({
         "exposure_demo": {"nside": nexp, "n_sca": ndev,
                           "layers": ["Rz4S2", "O", "PbrS2"],
-                          "wall_s": round(t_exp, 2), "parity": "ok"},
+                          "wall_s": round(t_exp, 2), "parity": "ok",
+                          "lane0_drift_mean": float(dd.mean()),
+                          "lane0_drift_max": float(dd.max())},
     }), flush=True)
 
 

@@ -83,9 +83,6 @@ def main():
         "res_e": np.cumsum(
             np.full((ngrp, na, na), 3.0 * ft, np.float32), axis=0
         ),
-        "dark_cube": cal["dark_cube"],
-        "amp33_med": cal["amp33_med"],
-        "data_u16": np.zeros((ngrp, nside, nside), np.float32),
     }
     arrs = {k: jax.device_put(jnp.asarray(v)) for k, v in arrs.items()}
     key = rand.sim_key(0)
@@ -109,7 +106,9 @@ def main():
         res, crh = sim_to_l1._accumulate_resultants(
             k, lam, rp, {"frame_time": ft}
         )
-        return res[0, 0, 0] + crh[0, 0].astype(jnp.float32)
+        # crh is per-GROUP since the per-group CR-flag change; take a
+        # scalar element whatever its rank
+        return res[0, 0, 0] + jnp.ravel(crh)[0].astype(jnp.float32)
 
     # 3. IL forward model alone on a fixed resultant stack
     def st_il(k, a):
@@ -142,15 +141,7 @@ def main():
     def st_accum_nocr(k, a):
         lam = jnp.clip(a["rate"] * ft, 0.0, None)
         res, crh = sim_to_l1._accumulate_resultants(k, lam, rp, None)
-        return res[0, 0, 0] + crh[0, 0].astype(jnp.float32)
-
-    # 2c. the T contraction alone on a materialized increment stack
-    T = np.zeros((ngrp, nreads), np.float32)
-    for j, grp in enumerate(rp):
-        for r_ in grp:
-            T[j, : r_ + 1] += 1.0 / len(grp)
-    T[:, 0] = 0.0
-    arrs["T"] = T
+        return res[0, 0, 0] + jnp.ravel(crh)[0].astype(jnp.float32)
 
     # 4. read-noise draw alone
     def st_readnoise(k, a):
@@ -162,10 +153,19 @@ def main():
         )
         return rn[0, 0, 0]
 
-    # 5. full L1 core
+    # 5. full L1 core.  On the Pallas path stage the PRE-PADDED kernel
+    # slab exactly as production does (benchlib/bench _bench_sim) —
+    # without it the core re-pads the raw kernel inside the jit every
+    # dispatch (~0.6 GB materialization), inflating l1_core_full
+    # relative to the path it is meant to attribute.
+    pallas = jax.default_backend() != "cpu"
+    if pallas:
+        from romanimpreprocess_tpu.ops import ipc_pallas as _ipcp
+
+        arrs["ipc_kernel_padded"] = jax.device_put(jnp.asarray(
+            _ipcp.kernel_planes_padded(cal["ipc_kernel"], th=32)))
     core = sim_to_l1._l1_core_factory(
-        rp, ft, False, True, True,
-        ipc_pallas=jax.default_backend() != "cpu")
+        rp, ft, False, True, True, ipc_pallas=pallas)
 
     def st_full(k, a):
         res, dq = core(k, a["rate"], a)

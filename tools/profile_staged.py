@@ -47,10 +47,14 @@ def build(nside):
         tuple(len(g) for g in read_pattern), nside, m.geom[2], m.geom[1],
         True, bool(m.do_amp33), im_is_active=True,
     )
-    arr = {
-        k: v for k, v in arr.items()
-        if k not in ("data", "biascorr", "dark_dq")
-    }
+    # match bench._bench_exposure's HBM residency exactly: with the
+    # Pallas backends on, every stage consumes only the pre-padded
+    # kernel slab, so the unread raw ipc_kernel (~0.6 GB at 4096^2)
+    # must not sit in HBM during the stage timings this tool exists to
+    # attribute (cf. the base-cal HBM-pressure anomaly)
+    drop = ("data", "biascorr", "dark_dq") + (
+        ("ipc_kernel",) if pallas else ())
+    arr = {k: v for k, v in arr.items() if k not in drop}
     arrs = {k: jax.device_put(jnp.asarray(v)) for k, v in arr.items()}
 
     cksum = jax.jit(

@@ -5,8 +5,15 @@ OUT=/tmp/tpu_batch_results.txt
 echo "=== batch start $(date -u +%H:%M:%S) ===" >> "$OUT"
 alive=0
 for i in $(seq 1 600); do
-  if timeout 120 python -c "import jax; jax.jit(lambda x: x + 1)(1.0)" \
-      >/dev/null 2>&1; then
+  # fetch + assert the computed VALUE: a dispatch-only probe proves the
+  # compile path, not execution (on the axon relay a recovering worker
+  # can accept dispatch while unable to run — a false 'alive' burns the
+  # whole batch through its timeouts; cf. bench._wait_for_backend)
+  if timeout 120 python -c "
+import jax, jax.numpy as jnp
+f = jax.jit(lambda x: (x + 1).sum())
+assert float(f(jnp.ones((128, 128)))) == 2 * 128 * 128
+" >/dev/null 2>&1; then
     echo "tpu alive at $(date -u +%H:%M:%S) (attempt $i)" >> "$OUT"
     alive=1
     break
