@@ -148,15 +148,20 @@ def load_caldir(caldir):
     return CalPack(**pack)
 
 
-_PACK_CACHE = hostcache.BoundedCache(20)
+_PACK_CACHE = hostcache.BoundedCache(40)
 
 
-def load_caldir_cached(caldir, max_entries=20):
+def load_caldir_cached(caldir, max_entries=40):
     """Cache CalPacks by their file-path set.
 
     Batch runs reuse one SCA's calibration across every exposure
     (reference: re-opened per use site); the cache loads each CALDIR
-    once per process.
+    once per process.  Capacity must cover an --sca=all sweep's WHOLE
+    working set — 18 sim-side (c1) + 18 calibration-side (c2) distinct
+    CALDIR dicts = 36 keys; a smaller cap makes each exposure evict the
+    other stage's packs, re-reading ~GB of cal ASDF per exposure and
+    (new array ids) missing the id-keyed ipc_precal/slab caches that
+    ``parallel.calibrate_fpa`` relies on staying warm.
     """
     key = tuple(sorted((k, str(v)) for k, v in caldir.items()))
     hit = _PACK_CACHE.get(key)

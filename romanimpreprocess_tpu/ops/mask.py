@@ -45,9 +45,17 @@ class CombinedMask:
         for key, grow in maskdict.items():
             bit = key if isinstance(key, int) else flag_bit(key)
             self.growbits[int(grow)] |= 1 << bit
+        # jitted entry: build() is also called from HOST paths (mask
+        # files in batch sweeps, FITSOUT) where an eager reduce_window
+        # dispatch is randomly UNIMPLEMENTED on the axon relay; inside
+        # an outer jit this inlines like the raw body
+        self._build_j = jax.jit(self._build)
 
     def build(self, dq):
         """dq (ny, nx) uint32 -> boolean mask (True = masked)."""
+        return self._build_j(dq)
+
+    def _build(self, dq):
         dq = jnp.asarray(dq)
         mask = jnp.zeros(dq.shape, dtype=bool)
         for grow, bits in self.growbits.items():

@@ -63,10 +63,9 @@ def make_fpa_calibrator(plan, cfg, geom, mesh):
     must re-dispatch the SAME jitted program, not re-trace — on the
     TPU relay a fresh 4096^2 vmapped-core compile costs minutes.
     """
-    # the cal core never reads the sim/noise-only contraction backend;
-    # strip it so configs differing only in CONTRACT_BACKEND share one
-    # compiled batched core (mirrors l1_to_l2._get_core)
-    cfg = {k: v for k, v in cfg.items() if k != "contract"}
+    # configs differing only in sim/noise-only keys share one compiled
+    # batched core
+    cfg = l1_to_l2.cal_cfg(cfg)
     ck = (l1_to_l2.core_key(plan, cfg, geom), mesh)
     hit = _FPA_CALIBRATOR_CACHE.get(ck)
     if hit is not None:
@@ -133,15 +132,14 @@ def calibrate_fpa(configs, mesh=None, write=True, max_workers=8,
         loaded = list(pool.map(load_one, configs))
     timings["host_staging_s"] = time.perf_counter() - t0
 
-    # group by compiled-core identity (MA table, static cfg, geometry);
-    # strip the sim/noise-only contraction backend exactly as
-    # make_fpa_calibrator does — otherwise configs differing only in
-    # CONTRACT_BACKEND split into separate padded executions of the
-    # SAME compiled program
+    # group by compiled-core identity (MA table, static cfg, geometry)
+    # under cal_cfg — otherwise configs differing only in sim/noise-only
+    # keys split into separate padded executions of the SAME program
     groups = {}
     for i, (_, prep) in enumerate(loaded):
-        cfg_g = {k: v for k, v in prep["cfg"].items() if k != "contract"}
-        key = l1_to_l2.core_key(prep["plan"], cfg_g, prep["geom"])
+        key = l1_to_l2.core_key(
+            prep["plan"], l1_to_l2.cal_cfg(prep["cfg"]), prep["geom"]
+        )
         groups.setdefault(key, []).append(i)
 
     ndev = mesh.devices.size

@@ -422,12 +422,23 @@ def core_key(plan, cfg, geom):
     )
 
 
+def cal_cfg(cfg):
+    """The cfg subset the CALIBRATION core actually reads.
+
+    Strips sim/noise-only keys (currently the read-axis ``contract``
+    backend) so configs differing only in those share one compiled cal
+    program — the single definition used by ``_get_core``,
+    ``parallel.make_fpa_calibrator``, and ``parallel.calibrate_fpa``'s
+    grouping (three hand-rolled copies of this strip would be the same
+    drift hazard class as the round-1 W.sum() key collision).
+    """
+    return {k: v for k, v in cfg.items() if k != "contract"}
+
+
 def _get_core(plan, cfg, geom):
-    # the calibration core never reads the read-axis contraction
-    # backend (sim/noise-only key): strip it so flipping
-    # CONTRACT_BACKEND doesn't recompile a byte-identical cal program
-    # (minutes per compile on the TPU relay)
-    cfg = {k: v for k, v in cfg.items() if k != "contract"}
+    # flipping CONTRACT_BACKEND must not recompile a byte-identical cal
+    # program (minutes per compile on the TPU relay)
+    cfg = cal_cfg(cfg)
     key = core_key(plan, cfg, geom)
     if key not in _CORE_CACHE:
         _CORE_CACHE[key] = make_core(plan, cfg, geom)

@@ -186,7 +186,16 @@ def make_noise_cube(config, seed=None, *, pack=None, base_l1=None,
     """
     nz = config.get("NOISE", {})
     backend = str(nz.get("BACKEND", "device")).lower()
-    if backend != "host" and str(str(nz.get("PEARSON_BACKEND", "jax")).lower()) != "host":
+    pearson_host = str(nz.get("PEARSON_BACKEND", "jax")).lower() == "host"
+    if backend == "device-strict" and pearson_host:
+        # contradictory: the host Pearson sampler only exists in the
+        # host engine, which strict mode forbids falling back to
+        raise ValueError(
+            "NOISE BACKEND 'device-strict' cannot be combined with "
+            "PEARSON_BACKEND 'host' (the host sampler runs only in the "
+            "host engine)"
+        )
+    if backend != "host" and not pearson_host:
         try:
             return _make_noise_cube_device(
                 config, seed, pack=pack, base_l1=base_l1, base_l2=base_l2
@@ -281,6 +290,8 @@ def _make_noise_cube_host(config, seed=None, *, pack=None, base_l1=None,
         if "amp33" in base_l1 else max(nside // 32, 4)
     )
 
+    dark_ref = None  # (dark_u16, calibrated slope), loop-invariant
+
     for i_noise, cmd in enumerate(layers):
         lkey = jax.random.fold_in(key, i_noise)
         # shallow copy: layers only REASSIGN top-level keys (data,
@@ -292,17 +303,29 @@ def _make_noise_cube_host(config, seed=None, *, pack=None, base_l1=None,
             flags = layer_subscript(cmd, "R")
 
             if "a" not in flags:
-                # reference run: the dark cube pushed through the pipeline
-                de = pack.dark_cube.shape[0] - ngrp
-                if de not in (0, 1):
-                    raise ValueError("Dark data cube has the wrong shape.")
-                mytree["data"] = np.clip(
-                    pack.dark_cube[de:], 0, 65535
-                ).astype(np.uint16)
-                ref_tree, _ = l1_to_l2.calibrate_tree(
-                    mytree, config, pack, area_factor
-                )
-                orig_data = np.asarray(ref_tree["roman"]["data"])
+                # reference run: the dark cube pushed through the
+                # pipeline.  Loop-INVARIANT (no RNG in calibrate_tree;
+                # the cube/config/amp33 don't change across layers), so
+                # compute once — the default production set is 8 non-'a'
+                # 'R' layers, and re-running it per layer would nearly
+                # double this host path's calibration count (the device
+                # path caches the same way, noise_core._dark_ref_cache)
+                if dark_ref is None:
+                    de = pack.dark_cube.shape[0] - ngrp
+                    if de not in (0, 1):
+                        raise ValueError(
+                            "Dark data cube has the wrong shape.")
+                    dark_u16 = np.clip(
+                        pack.dark_cube[de:], 0, 65535
+                    ).astype(np.uint16)
+                    ref_tree, _ = l1_to_l2.calibrate_tree(
+                        dict(mytree, data=dark_u16), config, pack,
+                        area_factor,
+                    )
+                    dark_ref = (
+                        dark_u16, np.asarray(ref_tree["roman"]["data"])
+                    )
+                mytree["data"], orig_data = dark_ref
             else:
                 orig_data = np.asarray(base_l2["roman"]["data"])
 
@@ -370,7 +393,7 @@ def _make_noise_cube_host(config, seed=None, *, pack=None, base_l1=None,
 
             backend = str(
                 config.get("NOISE", {}).get("PEARSON_BACKEND", "jax")
-            )
+            ).lower()
             if backend == "host":
                 noise_array = np.zeros((na, na), dtype=np.float32)
                 for i, (t21, t31, t41) in tilnus.items():

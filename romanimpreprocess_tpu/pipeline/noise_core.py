@@ -72,6 +72,80 @@ def fill_call_arrs(arrs):
     }
 
 
+def _tilnus_table(read_pattern, weightvecs, start, frame_time):
+    """Per-endslice (t21, t31, t41) scaled tilde-nus (static floats).
+
+    Single definition shared by the fused and staged noise cores (and
+    mirrored by the host engine) — the admissibility-filler fix of
+    round 3 had to touch three copies of this block; now there is one.
+    """
+    a_beta = np.array([g[0] for g in read_pattern])
+    N_beta = np.array([len(g) for g in read_pattern])
+    tilnus = {}
+    for i in range(start + 1, len(read_pattern)):
+        if weightvecs[i] is None:
+            continue
+        t21, t31, t41, _ = get_tilde_nus(N_beta, a_beta, weightvecs[i])
+        tilnus[i] = (
+            float(t21 * frame_time),
+            float(t31 * frame_time**2),
+            float(t41 * frame_time**3),
+        )
+    return tilnus
+
+
+def _pearson_o_draw(key, endslice_c, gI, gain_a, tilnus, na):
+    """'O'-layer Pearson pseudo-Poisson debias draw (shared by the
+    fused and staged cores).  ``key`` must already carry the layer's
+    fold; the caller divides nothing — the returned draw is in DN/s.
+    """
+    t21m = jnp.ones((na, na), jnp.float32)
+    t31m = jnp.zeros((na, na), jnp.float32)
+    # truly inadmissible filler (beta2 < 0 for every physical gI) so
+    # no-weight lanes never classify as a live Pearson type: a mild -1
+    # lands in the type-1 region for gI > 0.5 and only the trailing
+    # * hasw multiply hides the spurious draws (a NaN there would leak
+    # through the mask)
+    t41m = jnp.full((na, na), -1.0e12, jnp.float32)
+    hasw = jnp.zeros((na, na), bool)
+    for i, (t21, t31, t41) in tilnus.items():
+        sel = endslice_c == i
+        t21m = jnp.where(sel, t21, t21m)
+        t31m = jnp.where(sel, t31, t31m)
+        t41m = jnp.where(sel, t41, t41m)
+        hasw = hasw | sel
+    draw = draw_from_pearson_jax(key, t21m, t31m, t41m, gI)
+    return draw * hasw / gain_a
+
+
+def _p_layer_draw(key, endslice_c, withsky_act, gain_a, *, read_pattern,
+                  weightvecs, ngrp, frame_time, med_p, contract,
+                  sky_order=None, resample=False, final_sky_order=None):
+    """'P'-layer resampled-Poisson diff (shared fused/staged body).
+
+    ``sky_order``: the 'b' flag's medfit order for the sky level;
+    ``resample``: the 'r' flag; ``final_sky_order``: a trailing 'S'
+    fused into the same program.
+    """
+    if sky_order is not None:
+        _, skylevel = sky.medfit(withsky_act, order=sky_order,
+                                 pallas=med_p)
+    else:
+        skylevel = withsky_act
+    if not resample:
+        diff = jnp.zeros(withsky_act.shape, jnp.float32)
+    else:
+        e_exp = jnp.clip(skylevel * gain_a * frame_time, 0.0, None)
+        diff = resample_traced(
+            key, e_exp, gain_a, endslice_c, read_pattern, weightvecs,
+            ngrp, contract=contract,
+        )
+    if final_sky_order is not None:
+        _, model = sky.medfit(diff, order=final_sky_order, pallas=med_p)
+        diff = diff - model
+    return diff
+
+
 def exposure_arrays(prep, pack, rate):
     """Full array bundle for the EXPOSURE runners from a real cal pack.
 
@@ -122,7 +196,10 @@ def make_exposure_noise_core(prep, pack, layers, config=None, jit=True):
     ngrp = len(read_pattern)
     nvec = np.asarray([len(g) for g in read_pattern], np.float32)
 
-    core = l1_to_l2.make_core(plan, cfg, geom)
+    # the shared cached core (cal_cfg-stripped key) — a fresh
+    # make_core here would re-trace a program byte-identical to one
+    # already compiled for the staged path
+    core = l1_to_l2._get_core(plan, cfg, geom)
     med_p = bool(cfg.get("med_pallas", False))
 
     # static per-endslice weight vectors + tilde-nus
@@ -130,18 +207,7 @@ def make_exposure_noise_core(prep, pack, layers, config=None, jit=True):
         prep["meta"]["tbar"], prep["weights_out"], ngrp,
         cfg["exclude_first"],
     )
-    a_beta = np.array([g[0] for g in read_pattern])
-    N_beta = np.array([len(g) for g in read_pattern])
-    tilnus = {}
-    for i in range(start + 1, ngrp):
-        if weightvecs[i] is None:
-            continue
-        t21, t31, t41, _ = get_tilde_nus(N_beta, a_beta, weightvecs[i])
-        tilnus[i] = (
-            float(t21 * frame_time),
-            float(t31 * frame_time**2),
-            float(t41 * frame_time**3),
-        )
+    tilnus = _tilnus_table(read_pattern, weightvecs, start, frame_time)
 
     do_amp33 = cfg["use_amp33"]
     fillcore = sim_to_l1._fill_core_factory(
@@ -195,42 +261,24 @@ def make_exposure_noise_core(prep, pack, layers, config=None, jit=True):
 
     def _layer_O(lkey, arrs, base, endslice_c, gain_a):
         gI = gain_a * base["slope_withsky"][act, act]
-        t21m = jnp.ones((na, na), jnp.float32)
-        t31m = jnp.zeros((na, na), jnp.float32)
-        # truly inadmissible filler (beta2 < 0 for every physical
-        # gI) so no-weight lanes never classify as a live Pearson
-        # type: a mild -1 lands in the type-1 region for gI > 0.5
-        # and only the trailing * hasw multiply hides the spurious
-        # draws (a NaN there would leak through the mask)
-        t41m = jnp.full((na, na), -1.0e12, jnp.float32)
-        hasw = jnp.zeros((na, na), bool)
-        for i, (t21, t31, t41) in tilnus.items():
-            sel = endslice_c == i
-            t21m = jnp.where(sel, t21, t21m)
-            t31m = jnp.where(sel, t31, t31m)
-            t41m = jnp.where(sel, t41, t41m)
-            hasw = hasw | sel
-        draw = draw_from_pearson_jax(
-            jax.random.fold_in(lkey, 2), t21m, t31m, t41m, gI
+        return _pearson_o_draw(
+            jax.random.fold_in(lkey, 2), endslice_c, gI, gain_a, tilnus,
+            na,
         )
-        return draw * hasw / gain_a
 
     def _layer_P(lkey, cmd, base, endslice_c, gain_a):
         flags = layer_subscript(cmd, "P")
-        withsky = base["slope_withsky"][act, act]
-        if "b" in flags:
-            sky_order = int("0" + layer_subscript(flags.upper(), "B"))
-            _, skylevel = sky.medfit(withsky, order=sky_order,
-                                     pallas=med_p)
-        else:
-            skylevel = withsky
-        if "r" not in flags:
-            return jnp.zeros((na, na), jnp.float32)
-        e_exp = jnp.clip(skylevel * gain_a * frame_time, 0.0, None)
-        return resample_traced(
-            jax.random.fold_in(lkey, 1), e_exp, gain_a, endslice_c,
-            read_pattern, weightvecs, ngrp,
+        so = (
+            int("0" + layer_subscript(flags.upper(), "B"))
+            if "b" in flags else None
+        )
+        return _p_layer_draw(
+            jax.random.fold_in(lkey, 1), endslice_c,
+            base["slope_withsky"][act, act], gain_a,
+            read_pattern=read_pattern, weightvecs=weightvecs, ngrp=ngrp,
+            frame_time=frame_time, med_p=med_p,
             contract=cfg.get("contract", "dot"),
+            sky_order=so, resample="r" in flags,
         )
 
     def run(key, arrs):
@@ -404,18 +452,7 @@ def _staged_layer_machinery(prep, pack, config, mesh=None):
         prep["meta"]["tbar"], prep["weights_out"], ngrp,
         cfg["exclude_first"],
     )
-    a_beta = np.array([g[0] for g in read_pattern])
-    N_beta = np.array([len(g) for g in read_pattern])
-    tilnus = {}
-    for i in range(start + 1, ngrp):
-        if weightvecs[i] is None:
-            continue
-        t21, t31, t41, _ = get_tilde_nus(N_beta, a_beta, weightvecs[i])
-        tilnus[i] = (
-            float(t21 * frame_time),
-            float(t31 * frame_time**2),
-            float(t41 * frame_time**3),
-        )
+    tilnus = _tilnus_table(read_pattern, weightvecs, start, frame_time)
 
     # ---- small jitted stages (args only; no large closures) ----
     def split_keys(key):
@@ -469,51 +506,23 @@ def _staged_layer_machinery(prep, pack, config, mesh=None):
         es = endslice.astype(jnp.int32)
         endslice_c = jnp.where(es > 0, es, ngrp - 1)
         gI = gain_a * withsky[act, act]
-        t21m = jnp.ones((na, na), jnp.float32)
-        t31m = jnp.zeros((na, na), jnp.float32)
-        # truly inadmissible filler (beta2 < 0 for every physical
-        # gI) so no-weight lanes never classify as a live Pearson
-        # type: a mild -1 lands in the type-1 region for gI > 0.5
-        # and only the trailing * hasw multiply hides the spurious
-        # draws (a NaN there would leak through the mask)
-        t41m = jnp.full((na, na), -1.0e12, jnp.float32)
-        hasw = jnp.zeros((na, na), bool)
-        for i, (t21, t31, t41) in tilnus.items():
-            sel = endslice_c == i
-            t21m = jnp.where(sel, t21, t21m)
-            t31m = jnp.where(sel, t31, t31m)
-            t41m = jnp.where(sel, t41, t41m)
-            hasw = hasw | sel
-        draw = draw_from_pearson_jax(
-            jax.random.fold_in(key, 2), t21m, t31m, t41m, gI
+        return _pearson_o_draw(
+            jax.random.fold_in(key, 2), endslice_c, gI, gain_a, tilnus,
+            na,
         )
-        return draw * hasw / gain_a
 
     def p_layer(key, endslice, withsky, gain, sky_order=None,
                 resample=False, final_sky_order=None):
         gain_a = jnp.clip(gain, 1e-4, 1e4)[act, act]
         es = endslice.astype(jnp.int32)
         endslice_c = jnp.where(es > 0, es, ngrp - 1)
-        w = withsky[act, act]
-        if sky_order is not None:
-            _, skylevel = sky.medfit(w, order=sky_order, pallas=med_p)
-        else:
-            skylevel = w
-        if not resample:
-            diff = jnp.zeros((na, na), jnp.float32)
-        else:
-            e_exp = jnp.clip(skylevel * gain_a * frame_time, 0.0, None)
-            diff = resample_traced(
-                jax.random.fold_in(key, 1), e_exp, gain_a, endslice_c,
-                read_pattern, weightvecs, ngrp,
-                contract=cfg.get("contract", "dot"),
-            )
-        if final_sky_order is not None:
-            # trailing 'S' of a pure-'P' layer fused into this program
-            _, model = sky.medfit(diff, order=final_sky_order,
-                                  pallas=med_p)
-            diff = diff - model
-        return diff
+        return _p_layer_draw(
+            jax.random.fold_in(key, 1), endslice_c, withsky[act, act],
+            gain_a, read_pattern=read_pattern, weightvecs=weightvecs,
+            ngrp=ngrp, frame_time=frame_time, med_p=med_p,
+            contract=cfg.get("contract", "dot"), sky_order=sky_order,
+            resample=resample, final_sky_order=final_sky_order,
+        )
 
     def s_layer(diff, sky_order=None):
         _, model = sky.medfit(diff, order=sky_order, pallas=med_p)

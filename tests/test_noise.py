@@ -144,6 +144,36 @@ def test_noise_device_deterministic_per_seed(noisedir, tmp_path):
     assert not np.array_equal(c1, noise.make_noise_cube(c3))
 
 
+def test_noise_strict_rejects_host_pearson(noisedir, tmp_path):
+    """device-strict + PEARSON_BACKEND host is contradictory (the host
+    sampler only exists in the host engine) and must raise, not
+    silently run the host path."""
+    import pytest
+
+    d, c2 = noisedir
+    c3 = dict(c2)
+    c3["NOISE"] = dict(c2["NOISE"], BACKEND="device-strict",
+                       PEARSON_BACKEND="host",
+                       OUT=str(tmp_path / "bad.asdf"))
+    with pytest.raises(ValueError, match="device-strict"):
+        noise.make_noise_cube(c3)
+
+
+def test_noise_pearson_backend_case_insensitive(noisedir, tmp_path):
+    """'Host' must select the host Pearson sampler exactly like
+    'host' (the dispatch lowercases; the engine must too)."""
+    d, c2 = noisedir
+    cubes = {}
+    for backend in ("host", "Host"):
+        c3 = dict(c2)
+        c3["NOISE"] = dict(
+            c2["NOISE"], LAYER=["O"], PEARSON_BACKEND=backend,
+            OUT=str(tmp_path / f"ci_{backend}.asdf"),
+        )
+        cubes[backend] = noise.make_noise_cube(c3)
+    assert np.array_equal(cubes["host"], cubes["Host"])
+
+
 def test_noise_precision16(noisedir, tmp_path):
     d, c2 = noisedir
     c3 = dict(c2)

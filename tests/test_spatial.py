@@ -101,3 +101,52 @@ def test_row_sharded_dq_determinism(n_devices):
     o2 = jax.block_until_ready(core(arrs))
     for k in o1:
         assert np.array_equal(np.asarray(o1[k]), np.asarray(o2[k])), k
+
+
+def test_row_sharded_full_config_with_wfi18(tmp_path):
+    """Spatial sharding through a REAL config path (synth cal files,
+    WFI18 transient row fit, sky medfit, SLICEOUT endslice): the global
+    row regression and block-median stages must survive partitioning."""
+    import numpy as np
+
+    from romanimpreprocess_tpu.io import asdf_lite, calfiles
+    from romanimpreprocess_tpu.pipeline import sim_to_l1
+    from romanimpreprocess_tpu.synth import make_cal_files, make_scene_file
+
+    N = 128
+    rp = [[0], [1, 2], [3, 4, 5], [6, 7, 8], [9, 10]]
+    d = str(tmp_path)
+    scene = make_scene_file(d + "/truth_F184_163_4.fits",
+                            nside_active=N - 8, nstars=3)
+    caldir = make_cal_files(d + "/roman_wfi", rp, nside=N, seed=5)
+    reads = []
+    for g in rp:
+        reads += [g[0], g[-1] + 1]
+    sim_to_l1.run_config({"IN": scene, "OUT": d + "/L1.asdf",
+                          "READS": reads, "CALDIR": caldir, "SEED": 200})
+
+    # relabel as WFI18 so the transient row fit runs
+    f = asdf_lite.open(d + "/L1.asdf")
+    tree = dict(f.tree)
+    tree["roman"] = dict(tree["roman"])
+    tree["roman"]["meta"] = dict(tree["roman"]["meta"])
+    tree["roman"]["meta"]["instrument"] = dict(
+        tree["roman"]["meta"]["instrument"], detector="WFI18")
+    asdf_lite.AsdfFile(tree).write_to(d + "/L1_18.asdf")
+
+    config = {"IN": d + "/L1_18.asdf", "FITSWCS": d + "/L1_asdf_wcshead.txt",
+              "CALDIR": caldir, "SKYORDER": 2, "SLICEOUT": True,
+              "correct_wfi18_transient": True}
+    pack = calfiles.load_caldir_cached(caldir)
+    l1 = asdf_lite.open(d + "/L1_18.asdf")["roman"]
+    area = l1_to_l2.area_factor_from_config(config, pack.nside)
+    prep = l1_to_l2.prepare_inputs(l1, config, pack, area)
+
+    core = l1_to_l2._get_core(prep["plan"], prep["cfg"], prep["geom"])
+    ref = {k: np.asarray(v) for k, v in core(
+        {k: jnp.asarray(v) for k, v in prep["arr"].items()}).items()}
+
+    mesh = spatial.row_mesh(8)
+    out = jax.block_until_ready(core(
+        spatial.shard_rows(mesh, prep["arr"], prep["geom"])))
+    _gate(ref, out)
