@@ -611,10 +611,27 @@ def prepare_inputs(l1, config, pack, area_factor=None):
     u_ = float(uopt["slope"]) / float(uopt["gain"]) / float(uopt["sigma_read"]) ** 2
     likelihood_fit = bool(config.get("romancal_ramp_fit", False))
     if likelihood_fit:
+        # JUMP_KW (reference gen_cal_image.py:428 forwards it to the
+        # romancal likelihood fitter): recognized keys map onto the
+        # internal fitter's knobs; unrecognized ones are logged and
+        # ignored rather than failing the run (romancal-internal
+        # options have no analog here)
+        jump_kw = dict(config.get("JUMP_KW") or {})
+        rej = float(jump_kw.pop(
+            "rejection_threshold", config.get("REJECTION_THRESHOLD", 4.5)
+        ))
+        plan_kw = {
+            k: jump_kw.pop(k)
+            for k in ("nu", "u_min", "u_max") if k in jump_kw
+        }
         plan = likely.build_likely_plan(
-            meta, exclude_first,
-            rejection_threshold=float(config.get("REJECTION_THRESHOLD", 4.5)),
+            meta, exclude_first, rejection_threshold=rej, **plan_kw
         )
+        if jump_kw:
+            mylog.append(
+                "JUMP_KW keys ignored by the internal likelihood "
+                f"fitter: {sorted(jump_kw)}\n"
+            )
         mylog.append("likelihood (adaptive-weight) ramp fit\n")
         weights_out = plan.W[plan.nu // 2, -1]
     else:

@@ -114,3 +114,40 @@ def test_likely_two_sided_jump(tmp_path):
     # and the refit on the clean prefix recovers the true slope
     slope = np.asarray(out[0])
     assert abs(slope[8, 8] - slope_true) < 0.5
+
+
+def test_jump_kw_config_key(tmp_path):
+    """JUMP_KW (reference gen_cal_image.py:428) maps onto the internal
+    fitter: rejection_threshold inside JUMP_KW wins over the top-level
+    default, a huge threshold suppresses jump flags, and unknown keys
+    are logged (not fatal)."""
+    d = str(tmp_path)
+    scene = make_scene_file(d + "/truth_F184_163_4.fits", nside_active=NA,
+                            nstars=3)
+    caldir = make_cal_files(d + "/roman_wfi", READ_PATTERN, nside=N, seed=7)
+    reads = []
+    for g in READ_PATTERN:
+        reads += [g[0], g[-1] + 1]
+    sim_to_l1.run_config(
+        {"IN": scene, "OUT": d + "/L1.asdf", "READS": reads,
+         "CALDIR": caldir, "SEED": 300}
+    )
+    base = {
+        "IN": d + "/L1.asdf", "FITSWCS": d + "/L1_asdf_wcshead.txt",
+        "CALDIR": caldir, "SKYORDER": 2, "romancal_ramp_fit": True,
+    }
+    l1_to_l2.calibrateimage(
+        dict(base, OUT=d + "/L2_def.asdf", REJECTION_THRESHOLD=4.0)
+    )
+    l1_to_l2.calibrateimage(
+        dict(base, OUT=d + "/L2_kw.asdf",
+             JUMP_KW={"rejection_threshold": 1e4, "not_a_real_key": 1})
+    )
+    jd = np.uint32(pixel.JUMP_DET)
+    n_def = int(((np.asarray(
+        asdf_lite.open(d + "/L2_def.asdf")["roman"]["dq"]) & jd) != 0).sum())
+    n_kw = int(((np.asarray(
+        asdf_lite.open(d + "/L2_kw.asdf")["roman"]["dq"]) & jd) != 0).sum())
+    assert n_kw < n_def  # huge threshold suppresses jump rejection
+    log = asdf_lite.open(d + "/L2_kw.asdf")["processinfo"]["log"]
+    assert "not_a_real_key" in str(log)
