@@ -91,6 +91,45 @@ def shard_rows(mesh, arrs, geom):
     return {k: put(v) for k, v in arrs.items()}
 
 
+def sca_row_mesh(n_sca, n_row, devices=None):
+    """2-D ("sca", "row") mesh: batch axis x spatial axis.
+
+    For partial focal planes on larger slices (e.g. 4 SCAs on a v5e-8:
+    4x2 — each SCA row-sharded over 2 chips), combining the zero-
+    collective batch axis with the row-shard latency axis.
+    """
+    if devices is None:
+        devices = jax.devices()[: n_sca * n_row]
+    return Mesh(np.array(devices).reshape(n_sca, n_row), ("sca", "row"))
+
+
+def shard_batch_rows(mesh, arrays, geom):
+    """Commit a STACKED per-SCA bundle (leading SCA axis, cf.
+    ``parallel.shard_batch``) to a ("sca", "row") mesh: the leading
+    axis shards over "sca", each lane's row axis over "row".
+
+    Used with the ordinary batched calibrator
+    (``parallel.make_fpa_calibrator`` / a ``jit(vmap(core))``) — the
+    committed input shardings select the SPMD-partitioned executable,
+    exactly as in the 1-D cases.  Arrays whose row count does not
+    divide the "row" axis are committed sharded over "sca" only.
+    """
+    nside, nb, _ = geom
+    n_row = int(dict(zip(mesh.axis_names, mesh.devices.shape))["row"])
+
+    def put(v):
+        v = np.asarray(v)
+        inner = row_spec(v[0], nside, nb) if v.ndim else P()
+        spec = P("sca", *tuple(inner))
+        if "row" in tuple(inner):
+            axis = 1 + tuple(inner).index("row")
+            if v.shape[axis] % n_row:
+                spec = P("sca")
+        return jax.device_put(v, NamedSharding(mesh, spec))
+
+    return {k: put(v) for k, v in arrays.items()}
+
+
 def make_spatial_calibrator(plan, cfg, geom, mesh):
     """The L1->L2 calibration core for row-sharded execution.
 

@@ -150,3 +150,32 @@ def test_row_sharded_full_config_with_wfi18(tmp_path):
     out = jax.block_until_ready(core(
         spatial.shard_rows(mesh, prep["arr"], prep["geom"])))
     _gate(ref, out)
+
+
+def test_sca_row_2d_mesh_batched_core():
+    """2-D ("sca","row") mesh: two SCAs batched, each row-sharded over
+    4 devices — per-lane results must match the single-device core."""
+    import numpy as np
+
+    arr1, plan, cfg, geom = benchlib.core_bundle(nside=64, seed=1000)
+    arr2, plan2, cfg2, _ = benchlib.core_bundle(nside=64, seed=2000)
+    assert l1_to_l2.core_key(plan, cfg, geom) == l1_to_l2.core_key(
+        plan2, cfg2, geom)  # same compiled-core identity, different cal
+
+    core = l1_to_l2._get_core(plan, cfg, geom)
+    refs = []
+    for arr in (arr1, arr2):
+        out = core({k: jnp.asarray(v) for k, v in arr.items()})
+        refs.append({k: np.asarray(v) for k, v in out.items()})
+
+    mesh = spatial.sca_row_mesh(2, 4)
+    batch = {
+        k: np.stack([np.asarray(arr1[k]), np.asarray(arr2[k])])
+        for k in arr1
+    }
+    batched = jax.jit(jax.vmap(core))
+    out = jax.block_until_ready(
+        batched(spatial.shard_batch_rows(mesh, batch, geom))
+    )
+    for lane, ref in enumerate(refs):
+        _gate(ref, {k: np.asarray(v)[lane] for k, v in out.items()})
