@@ -194,13 +194,23 @@ def process_exposure_fpa(jobs, mesh=None, write_mask=True, sim_workers=4):
         list(pool.map(lambda job: sim_to_l1.run_config(job[0]), jobs))
     c2s = [c2 | {"SLICEOUT": True} for _, c2 in jobs]
     parallel.calibrate_fpa(c2s, mesh=mesh)
-    for c2 in c2s:
+
+    def noise_mask_one(c2):
         if "NOISE" in c2:
             noise.generate_all_noise(c2)
         if write_mask:
             PixelMask1.convert_file(
                 c2["OUT"], c2["OUT"][:-5] + "_mask.fits"
             )
+
+    # two workers: SCA i's host-side cube fetch + ~100 MB ASDF/FITS
+    # writes overlap SCA i+1's device noise stack (device dispatches
+    # from both threads serialize on the chip; the per-SCA noise seeds
+    # and output files are independent, and the jit/machinery caches
+    # are thread-safe - utils.hostcache)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for f in [pool.submit(noise_mask_one, c2) for c2 in c2s]:
+            f.result()
 
 
 def run(argv=None):
