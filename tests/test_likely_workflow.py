@@ -151,3 +151,42 @@ def test_jump_kw_config_key(tmp_path):
     assert n_kw < n_def  # huge threshold suppresses jump rejection
     log = asdf_lite.open(d + "/L2_kw.asdf")["processinfo"]["log"]
     assert "not_a_real_key" in str(log)
+
+
+def test_noise_stack_on_likelihood_path(tmp_path):
+    """The staged device noise engine must run on the likelihood-fitter
+    plan too (weights_out = the central-u full-ramp weights): layer
+    cubes come back finite with sane spread (reference: the NOISE block
+    composes with either fitter, gen_cal_image.py:415-445)."""
+    from romanimpreprocess_tpu.pipeline import noise
+
+    d = str(tmp_path)
+    scene = make_scene_file(d + "/truth_F184_163_4.fits", nside_active=NA,
+                            nstars=3)
+    caldir = make_cal_files(d + "/roman_wfi", READ_PATTERN, nside=N, seed=9)
+    reads = []
+    for g in READ_PATTERN:
+        reads += [g[0], g[-1] + 1]
+    sim_to_l1.run_config(
+        {"IN": scene, "OUT": d + "/L1.asdf", "READS": reads,
+         "CALDIR": caldir, "SEED": 400}
+    )
+    c2 = {
+        "IN": d + "/L1.asdf", "OUT": d + "/L2.asdf",
+        "FITSWCS": d + "/L1_asdf_wcshead.txt", "CALDIR": caldir,
+        "SKYORDER": 2, "SLICEOUT": True, "romancal_ramp_fit": True,
+        "NOISE": {"LAYER": ["Rz4S2", "O"], "SEED": 77,
+                  "BACKEND": "device-strict",
+                  "OUT": d + "/nz.asdf"},
+    }
+    l1_to_l2.calibrateimage(c2)
+    cube = noise.generate_all_noise(c2)
+    nz = np.asarray(asdf_lite.open(d + "/nz.asdf")["noise"])
+    assert nz.shape == (2, NA, NA)
+    good = np.asarray(
+        asdf_lite.open(d + "/L2.asdf")["roman"]["dq"]) == 0
+    for j in range(2):
+        x = nz[j][good]
+        assert np.isfinite(x).all()
+        assert abs(np.median(x)) < 0.3
+        assert 0.05 < np.percentile(x, 95) - np.percentile(x, 5) < 50.0
