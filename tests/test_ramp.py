@@ -8,6 +8,7 @@ single-pass implementation must produce identical flags and slopes.
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from romanimpreprocess_tpu.dqflags import group as gdq
 from romanimpreprocess_tpu.dqflags import pixel
@@ -102,9 +103,10 @@ def _oracle_ramp_fit(data, rdq, pdq, meta, K, gain, read_sigma, jp,
     return slope, ser, sep, rdq, pdq
 
 
-def _make_case(seed=0, ny=24, nx=24, exclude_first=True):
+def _make_case(seed=0, ny=24, nx=24, exclude_first=True,
+               read_pattern=READ_PATTERN):
     rng = np.random.RandomState(seed)
-    meta = ramp.ma_table_meta(READ_PATTERN, DT)
+    meta = ramp.ma_table_meta(read_pattern, DT)
     ngrp = meta["ngrp"]
     gain = rng.uniform(1.4, 1.6, (ny, nx)).astype(np.float32)
     read_sigma = rng.uniform(5, 8, (ny, nx)).astype(np.float32)
@@ -129,9 +131,9 @@ def _make_case(seed=0, ny=24, nx=24, exclude_first=True):
     return meta, data, rdq, pdq, gain, read_sigma
 
 
-def _run_both(exclude_first, seed=0):
+def _run_both(exclude_first, seed=0, read_pattern=READ_PATTERN):
     meta, data, rdq, pdq, gain, read_sigma = _make_case(
-        seed, exclude_first=exclude_first
+        seed, exclude_first=exclude_first, read_pattern=read_pattern
     )
     jp = dict(SthreshA=5.5, SthreshB=4.5, IthreshA=1.0, IthreshB=1000.0)
     u = 0.4 / 1.8 / 6.5**2
@@ -187,3 +189,24 @@ def test_slope_recovers_rate_no_noise():
         plan, jnp.full((ny, nx), 1.5), jnp.full((ny, nx), 6.0), nborder=1,
     )
     assert np.allclose(np.array(slope), 7.5, atol=1e-4)
+
+
+@pytest.mark.parametrize("read_pattern,exclude_first", [
+    ([[0], [1], [2], [3]], True),                 # all singleton groups
+    ([[0, 1, 2, 3], [4, 5, 6, 7], [8, 9, 10, 11]], False),  # minimum ngrp
+    ([[0], [5, 6], [20, 21, 22, 23, 24], [40]], True),      # long gaps
+    ([[0], [1, 2], [3], [4, 5, 6, 7, 8, 9], [10]], False),  # mixed sizes
+])
+def test_ramp_fit_matches_oracle_other_ma_tables(read_pattern,
+                                                 exclude_first):
+    """The masked-dense fitter must match the sequential oracle for
+    arbitrary MA tables, not just the default one (the plan math -
+    Casertano weights, variance coefficients, variant tables - depends
+    on group sizes/timing in several places)."""
+    (slope, ser, sep, rdq_o, pdq_o), (s_w, ser_w, sep_w, rdq_w, pdq_w) = \
+        _run_both(exclude_first, seed=3, read_pattern=read_pattern)
+    assert np.array_equal(np.array(rdq_o), rdq_w)
+    assert np.array_equal(np.array(pdq_o), pdq_w)
+    assert np.allclose(np.array(slope), s_w, rtol=2e-4, atol=2e-3)
+    assert np.allclose(np.array(ser), ser_w, rtol=2e-4, atol=1e-4)
+    assert np.allclose(np.array(sep), sep_w, rtol=2e-4, atol=1e-3)
