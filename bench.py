@@ -45,8 +45,12 @@ def _wait_for_backend():
     last_err = "no probe ran"
     while True:
         try:
+            # 300 s per attempt: a COLD relay takes >120 s just to
+            # enumerate devices (122 s measured Aug 19) — a 120 s
+            # probe timeout would classify a healthy-but-cold backend
+            # as down on every retry and burn the whole wait budget.
             r = subprocess.run(
-                [sys.executable, "-c", probe], timeout=120,
+                [sys.executable, "-c", probe], timeout=300,
                 capture_output=True, text=True,
             )
             if r.returncode == 0 and "PLATFORM=" in r.stdout:
@@ -89,7 +93,32 @@ def main():
     # ROMAN_BENCH_NSIDE: CPU smoke-testing of the bench harness itself
     # (the recorded metric is only meaningful at the default 4096)
     nside = int(os.environ.get("ROMAN_BENCH_NSIDE", "4096"))
-    samples = _core_samples(jax, jnp, functools, benchlib, l1_to_l2, nside)
+    # Headline strategy (the rounds-2/3 failure was a cold Pallas
+    # remote compile, 4-30 min/kernel on the axon relay, eating the
+    # driver's entire timeout before any JSON printed — BENCH_r02/r03
+    # rc=124):
+    #   1. attempt the (faster) Pallas-backend chain in a KILLABLE
+    #      subprocess under ROMAN_BENCH_PALLAS_BUDGET_S (default 240 s
+    #      — plenty with a warm compile cache, bounded when cold);
+    #   2. on any miss, measure the pure-XLA chain in-process (compiles
+    #      in tens of seconds even on a cold relay).
+    # Worst case the headline JSON is out ~6 min after the backend
+    # answers; it is never hostage to an unbounded compile.
+    extras = {}
+    pallas_ok = False
+    if backend_ok and jax.default_backend() == "tpu" and (
+            os.environ.get("ROMAN_BENCH_PALLAS", "1") != "0"):
+        budget = float(os.environ.get("ROMAN_BENCH_PALLAS_BUDGET_S", "240"))
+        pallas_ok = _extra_pallas(extras, nside, budget)
+    else:
+        extras["pallas_core_error"] = "skipped (not on TPU or disabled)"
+    if pallas_ok:
+        samples = [s / 1e3 for s in extras["pallas_core_samples_ms"]]
+        headline_backend = "xla+pallas(ipc,lin,med)"
+    else:
+        samples = _core_samples(jax, jnp, functools, benchlib, l1_to_l2,
+                                nside, pallas=False)
+        headline_backend = "xla"
     dt = float(np.median(samples))
 
     # The headline JSON line is printed IMMEDIATELY — the driver
@@ -106,11 +135,14 @@ def main():
         "vs_baseline": round(budget_s / dt, 3),
         "extra": {
             "device": str(jax.devices()[0]),
+            "backend": headline_backend,
             "mpix_per_s": round(npix / dt / 1e6, 1),
             "fpa_18sca_proj_s_on_8chip": round(dt * 18 / 8, 3),
             "samples_ms": [round(s * 1e3, 3) for s in samples],
         },
     }
+    if not pallas_ok and "pallas_core_error" in extras:
+        result["extra"]["pallas"] = extras["pallas_core_error"]
     if backend_err is not None:
         result["extra"]["error"] = backend_err + (
             f" (CPU fallback at nside={nside} - NOT a TPU number)")
@@ -126,7 +158,17 @@ def main():
     # explicitly rather than silently dropping keys. ---
     deadline = time.perf_counter() + float(
         os.environ.get("ROMAN_BENCH_BUDGET_S", "1200"))
-    extras = {}
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_EXTRAS.json")
+
+    def _flush_extras():
+        # written after EVERY extra: a hang in a later extra (e.g. a
+        # cold Pallas remote compile) must not erase earlier results
+        try:
+            with open(out_path, "w") as f:
+                json.dump({"headline": result, "extras": extras}, f, indent=1)
+        except OSError as e:  # pragma: no cover
+            print(f"could not write BENCH_EXTRAS.json: {e}", file=sys.stderr)
 
     def _extra(name, fn, exposure=False):
         # ROMAN_BENCH_EXPOSURE=0 skips only the (slow-compiling) staged
@@ -141,15 +183,26 @@ def main():
             extras[name] = round(fn() * 1e3, 3)
         except Exception as e:  # pragma: no cover - defensive
             extras[name + "_error"] = repr(e)
+        _flush_extras()
 
+    _flush_extras()
+    # with a Pallas headline, also record the pure-XLA chain for the
+    # A/B (it compiles fast; the reverse case records pallas_core_error)
+    if pallas_ok:
+        _extra("xla_core_ms",
+               lambda: float(np.median(_core_samples(
+                   jax, jnp, functools, benchlib, l1_to_l2, nside,
+                   pallas=False))))
     _extra("sim_l1_synthesis_ms",
-           lambda: _bench_sim(jax, jnp, functools, benchlib, nside))
+           lambda: _bench_sim(jax, jnp, functools, benchlib, nside,
+                              pallas=pallas_ok))
     _extra("likelihood_l1_to_l2_ms",
            lambda: float(np.median(_core_samples(
                jax, jnp, functools, benchlib, l1_to_l2, nside,
-               likelihood=True))))
+               likelihood=True, pallas=pallas_ok))))
     _extra("exposure_sim_l2_noise3_ms",
-           lambda: _bench_exposure(jax, jnp, functools, benchlib, nside),
+           lambda: _bench_exposure(jax, jnp, functools, benchlib, nside,
+                                   pallas=pallas_ok),
            exposure=True)
     if "exposure_sim_l2_noise3_ms" in extras:
         extras["exposure_layers"] = "Rz4S2+O+PbrS2"
@@ -163,24 +216,67 @@ def main():
 
     _extra("exposure_production8_ms",
            lambda: _bench_exposure(jax, jnp, functools, benchlib, nside,
-                                   layers=DEFAULT_LAYERS, n_hi=2),
+                                   layers=DEFAULT_LAYERS, n_hi=2,
+                                   pallas=pallas_ok),
            exposure=True)
     if "exposure_production8_ms" in extras:
         extras["production8_layers"] = ",".join(DEFAULT_LAYERS)
         extras["fpa_18sca_production8_proj_s_on_8chip"] = round(
             extras["exposure_production8_ms"] / 1e3 * 18 / 8, 3)
     print("extras: " + json.dumps(extras), file=sys.stderr, flush=True)
+    _flush_extras()
+
+
+def _extra_pallas(extras, nside, budget_s):
+    """Measure the Pallas-backend headline core in a subprocess bounded
+    by ``budget_s`` wall-clock seconds; record result or cause in
+    ``extras``.  Returns True iff the measurement landed (which also
+    means the remote Pallas compile cache is now warm for this shape).
+    """
+    import subprocess
+
+    if budget_s < 60:
+        extras["pallas_core_error"] = (
+            f"skipped (remaining budget {budget_s:.0f}s < 60s)")
+        return False
+    env = dict(os.environ, ROMAN_BENCH_NSIDE=str(nside))
     try:
-        out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_EXTRAS.json")
-        with open(out, "w") as f:
-            json.dump({"headline": result, "extras": extras}, f, indent=1)
-    except OSError as e:  # pragma: no cover
-        print(f"could not write BENCH_EXTRAS.json: {e}", file=sys.stderr)
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--pallas-core"],
+            timeout=budget_s, capture_output=True, text=True, env=env)
+    except subprocess.TimeoutExpired:
+        extras["pallas_core_error"] = (
+            f"killed (Pallas compile exceeded {budget_s:.0f}s budget)")
+        return False
+    if r.returncode == 0 and "PALLAS_SAMPLES=" in r.stdout:
+        samples = json.loads(
+            r.stdout.split("PALLAS_SAMPLES=")[1].splitlines()[0])
+        extras["pallas_core_samples_ms"] = samples
+        extras["pallas_core_ms"] = round(float(np.median(samples)), 3)
+        return True
+    extras["pallas_core_error"] = (r.stderr or r.stdout).strip()[-300:]
+    return False
+
+
+def _pallas_child():
+    """Subprocess entry for the budgeted Pallas headline attempt."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from romanimpreprocess_tpu import benchlib
+    from romanimpreprocess_tpu.pipeline import l1_to_l2
+
+    nside = int(os.environ.get("ROMAN_BENCH_NSIDE", "4096"))
+    samples = _core_samples(jax, jnp, functools, benchlib, l1_to_l2, nside,
+                            pallas=True)
+    print("PALLAS_SAMPLES="
+          + json.dumps([round(s * 1e3, 3) for s in samples]), flush=True)
 
 
 def _core_samples(jax, jnp, functools, benchlib, l1_to_l2, nside,
-                  likelihood=False, repeats=3):
+                  likelihood=False, repeats=3, pallas=None):
     """Median-of-``repeats`` chain-difference wall clocks of the full
     L1->L2 calibration core (ms-scale run-to-run scatter on the relay
     is ~±5%, so a single sample cannot resolve round-to-round deltas).
@@ -189,10 +285,15 @@ def _core_samples(jax, jnp, functools, benchlib, l1_to_l2, nside,
     synchronize remote execution, so each sample times a
     serially-dependent scan chain and differences two chain lengths
     (overhead cancels exactly).
+
+    ``pallas``: use the Pallas kernel backends (ipc/lin/med).  Default
+    (None) enables them on TPU; the headline passes False explicitly —
+    cold-cache Pallas remote compiles must never gate the headline.
     """
     arr, plan, cfg, geom = benchlib.core_bundle(nside=nside,
                                                 likelihood=likelihood)
-    pallas = jax.default_backend() == "tpu"
+    if pallas is None:
+        pallas = jax.default_backend() == "tpu"
     cfg = dict(cfg, ipc_pallas=pallas, lin_pallas=pallas, med_pallas=pallas)
     if pallas:
         del arr["ipc_kernel"]  # the Pallas core consumes the padded slab only
@@ -225,7 +326,7 @@ def _core_samples(jax, jnp, functools, benchlib, l1_to_l2, nside,
 
 
 def _bench_exposure(jax, jnp, functools, benchlib, nside,
-                    layers=("Rz4S2", "O", "PbrS2"), n_hi=3):
+                    layers=("Rz4S2", "O", "PbrS2"), n_hi=3, pallas=None):
     """Time the staged production exposure: L1 synthesis +
     refdata/1-f fill + L1->L2 calibration + the given noise layers
     (the reference's per-exposure workload,
@@ -234,7 +335,8 @@ def _bench_exposure(jax, jnp, functools, benchlib, nside,
     from romanimpreprocess_tpu.pipeline import noise_core
 
     arr, prep, pack = benchlib.exposure_bundle(nside=nside)
-    pallas = jax.default_backend() == "tpu"
+    if pallas is None:
+        pallas = jax.default_backend() == "tpu"
     prep = dict(
         prep,
         cfg=dict(prep["cfg"], ipc_pallas=pallas, lin_pallas=pallas,
@@ -283,7 +385,7 @@ def _bench_exposure(jax, jnp, functools, benchlib, nside,
     return (t_hi - t_lo) / (n_hi - n_lo)
 
 
-def _bench_sim(jax, jnp, functools, benchlib, nside):
+def _bench_sim(jax, jnp, functools, benchlib, nside, pallas=None):
     """Time the jitted L1-synthesis core (Poisson/CR accumulation, IL
     forward model with the 24-iter bisection, read noise)."""
     from romanimpreprocess_tpu.io.calfiles import CalPack
@@ -309,7 +411,8 @@ def _bench_sim(jax, jnp, functools, benchlib, nside):
     # same array bundle make_l1_fullcal builds, passed as jit ARGUMENTS
     # (tracing make_l1_fullcal directly would embed these as constants
     # and blow the axon remote-compile payload limit)
-    pallas = jax.default_backend() == "tpu"
+    if pallas is None:
+        pallas = jax.default_backend() == "tpu"
     arrs = {
         "gain": pack.gain,
         "gain_act": pack.gain[act, act],
@@ -359,4 +462,7 @@ def _bench_sim(jax, jnp, functools, benchlib, nside):
 
 
 if __name__ == "__main__":
-    main()
+    if "--pallas-core" in sys.argv:
+        _pallas_child()
+    else:
+        main()
