@@ -11,7 +11,9 @@ File formats follow the reference spec exactly
 gain, ipc4d, linearitylegendre (data/Smin/Smax/Sref/dq), read
 (data/resetnoise/anc.U_PINK/C_PINK/amp33{med,std,M_PINK,RU_PINK}),
 flat(pflat), biascorr (data + t0), mask (dq), saturation (data + dq),
-optional dark_decay (decay_table per detector).
+optional dark_decay (decay_table per detector), optional
+wfi18_transient (transient_table per detector: first-read row-profile
+taus).
 """
 
 from dataclasses import dataclass, field
@@ -65,6 +67,9 @@ class CalPack:
     saturation_dq: Optional[np.ndarray] = None
     # dark decay (per-detector table)
     dark_decay: dict = field(default_factory=dict)
+    # first-read row transient (per-detector taus; reference applies
+    # romancal's WFI18 anomaly correction, gen_cal_image.py:327-353)
+    wfi18_transient: dict = field(default_factory=dict)
 
     @property
     def nside(self):
@@ -143,6 +148,13 @@ def load_caldir(caldir):
                 "time_constant": float(v["time_constant"]),
             }
             for k, v in f["decay_table"].items()
+        }
+
+    if "wfi18_transient" in caldir:
+        f = asdf_lite.open(caldir["wfi18_transient"])["roman"]
+        pack["wfi18_transient"] = {
+            k: {"taus": tuple(float(t) for t in v["taus"])}
+            for k, v in f["transient_table"].items()
         }
 
     return CalPack(**pack)

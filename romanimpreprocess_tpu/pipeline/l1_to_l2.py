@@ -100,26 +100,36 @@ def _dark_decay_signal(read_pattern, frame_time, amplitude, time_constant):
     return np.asarray(out, dtype=np.float32)
 
 
-def _wfi18_row_basis(nside):
-    """Two-exponential row basis for the WFI18 first-read transient.
+WFI18_DEFAULT_TAUS = (150.0, 1300.0)
 
-    Row coordinate includes the 4-row timing gap every 256 rows
-    (cf. the reference's synthetic transient, test_workflow.py:542-544).
+
+def _wfi18_row_basis(nside, taus=WFI18_DEFAULT_TAUS):
+    """Two-exponential row basis for the first-read transient.
+
+    ``taus`` are the per-detector decay constants in effective rows —
+    calibrated values come from the optional ``wfi18_transient`` cal
+    table (pattern: ``dark_decay``); the defaults reproduce the
+    historical hardcoded WFI18 model.  Row coordinate includes the
+    4-row timing gap every 256 rows (cf. the reference's synthetic
+    transient, test_workflow.py:542-544; the reference applies
+    romancal's per-detector anomaly correction,
+    gen_cal_image.py:327-353).
     """
     rows = np.arange(nside, dtype=np.float64)
     reff = rows + (rows // 256) * 4
-    basis = np.stack([np.exp(-reff / 150.0), np.exp(-reff / 1300.0)], axis=1)
-    return basis.astype(np.float32)  # (nside, 2)
+    basis = np.stack([np.exp(-reff / t) for t in taus], axis=1)
+    return basis.astype(np.float32)  # (nside, len(taus))
 
 
-def _correct_wfi18(data, nside, nborder):
-    """Fit & subtract the two-exponential row profile from the first read.
+def _correct_wfi18(data, basis, nside, nborder):
+    """Fit & subtract the exponential row profile from the first read.
 
     Row medians of (read0 - read1) isolate the transient (it only
     affects the first read); weighted least squares on the fixed-tau
-    basis; the fitted profile is removed from read 0.
+    ``basis`` (shape (nside, nbasis), see :func:`_wfi18_row_basis`);
+    the fitted profile is removed from read 0.  Amplitudes are fitted
+    per exposure; only the taus are calibration inputs.
     """
-    basis = jnp.asarray(_wfi18_row_basis(nside))  # (nside, 2)
     nb = nborder
     prof = jnp.median(
         data[0, :, nb : nside - nb] - data[1, :, nb : nside - nb], axis=1
@@ -181,7 +191,7 @@ def make_core(plan, cfg, geom):
 
         # ---- WFI18 transient ----
         if cfg["wfi18"]:
-            data = _correct_wfi18(data, nside, nborder)
+            data = _correct_wfi18(data, arr["wfi18_basis"], nside, nborder)
 
         # ---- linearity ----
         if "linearity" not in ab:
@@ -646,10 +656,21 @@ def prepare_inputs(l1, config, pack, area_factor=None):
     use_amp33 = pack.amp33_valid and "amp33" in l1
     opt_slope = calfiles.amp33_optimal_slope(pack) if use_amp33 else None
     wfi18 = bool(config.get("correct_wfi18_transient", False)) and (
-        detector == "WFI18"
+        detector == "WFI18" or detector in pack.wfi18_transient
     )
-    if config.get("correct_wfi18_transient", False) and detector != "WFI18":
+    if config.get("correct_wfi18_transient", False) and not wfi18:
         mylog.append("Skipping WFI18 transient correction (not WFI18)\n")
+    # per-detector taus from the optional wfi18_transient cal table
+    # (defaults reproduce the historical hardcoded WFI18 model)
+    wfi18_taus = tuple(
+        pack.wfi18_transient.get(detector, {}).get(
+            "taus", WFI18_DEFAULT_TAUS)
+    )
+    if wfi18:
+        mylog.append(
+            "WFI18 transient row basis taus = "
+            + ", ".join(f"{t:.1f}" for t in wfi18_taus) + " rows\n"
+        )
     has_dark_decay = "dark_decay" in caldir
     if has_dark_decay:
         tab = pack.dark_decay[detector]
@@ -735,6 +756,7 @@ def prepare_inputs(l1, config, pack, area_factor=None):
         "flat": pack.flat,
         "area_factor": area_factor,
         "dark_decay_signal": dd_signal,
+        "wfi18_basis": _wfi18_row_basis(nside, wfi18_taus),
     }
     if cfg["has_ipc"]:
         # cal-only IPC work precomputed once per cal pack (see
