@@ -148,18 +148,63 @@ def main():
             f" (CPU fallback at nside={nside} - NOT a TPU number)")
     print(json.dumps(result), flush=True)
 
-    # --- optional extras, wall-clock budgeted (ROMAN_BENCH_BUDGET_S,
-    # default 1200 s FROM HERE).  Anchoring at module import would let
-    # the backend-outage wait (up to 600 s) plus the headline's Pallas
-    # remote compiles (minutes per kernel shape) consume the whole
-    # budget and silently skip every extra on exactly the post-outage
-    # runs they exist for.  Results go to stderr and to
-    # BENCH_EXTRAS.json next to this script; failures are recorded
-    # explicitly rather than silently dropping keys. ---
-    deadline = time.perf_counter() + float(
-        os.environ.get("ROMAN_BENCH_BUDGET_S", "1200"))
+    # --- optional extras, in a KILLABLE subprocess bounded by
+    # ROMAN_BENCH_BUDGET_S (default 1200 s from here).  A single cold
+    # remote compile (e.g. the likelihood core at 4096^2) can hang an
+    # in-process extra for >30 min, which would keep THIS process alive
+    # past the driver's timeout (rc=124) even though the headline
+    # already printed.  The child writes BENCH_EXTRAS.json
+    # incrementally; on overrun the parent kills it and exits 0 with
+    # whatever landed. ---
+    import subprocess
+
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "BENCH_EXTRAS.json")
+    try:
+        with open(out_path, "w") as f:
+            json.dump({"headline": result,
+                       "extras": dict(extras,
+                                      status="extras did not start")},
+                      f, indent=1)
+    except OSError as e:  # pragma: no cover
+        print(f"could not write BENCH_EXTRAS.json: {e}", file=sys.stderr)
+        return
+    budget = float(os.environ.get("ROMAN_BENCH_BUDGET_S", "1200"))
+    env = dict(os.environ, ROMAN_BENCH_NSIDE=str(nside),
+               ROMAN_BENCH_PALLAS_OK=("1" if pallas_ok else "0"))
+    try:
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--extras"],
+            timeout=budget, env=env)
+    except subprocess.TimeoutExpired:
+        print(f"extras killed at {budget:.0f}s budget; "
+              "BENCH_EXTRAS.json holds completed entries",
+              file=sys.stderr, flush=True)
+
+
+def _extras_child():
+    """Subprocess entry: compute the optional extras, updating
+    BENCH_EXTRAS.json after each one (the parent may kill us at any
+    point; everything already measured must survive)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from romanimpreprocess_tpu import benchlib
+    from romanimpreprocess_tpu.pipeline import l1_to_l2
+
+    nside = int(os.environ.get("ROMAN_BENCH_NSIDE", "4096"))
+    pallas_ok = os.environ.get("ROMAN_BENCH_PALLAS_OK", "0") == "1"
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_EXTRAS.json")
+    with open(out_path) as f:
+        prior = json.load(f)
+    result = prior["headline"]
+    # seed with the parent's pre-headline results (pallas attempt)
+    extras = {k: v for k, v in prior.get("extras", {}).items()
+              if k != "status"}
+    deadline = time.perf_counter() + 10**9  # parent enforces the budget
 
     def _flush_extras():
         # written after EVERY extra: a hang in a later extra (e.g. a
@@ -464,5 +509,7 @@ def _bench_sim(jax, jnp, functools, benchlib, nside, pallas=None):
 if __name__ == "__main__":
     if "--pallas-core" in sys.argv:
         _pallas_child()
+    elif "--extras" in sys.argv:
+        _extras_child()
     else:
         main()

@@ -24,13 +24,18 @@ diagnostics.  Re-derived here TPU-first:
   clean prefix (truncated GLS weights);
 - diagnostics follow the semantics the reference packages at
   ``gen_cal_image.py:423-429`` (``ramp_fit_step.likely`` returns an
-  image model carrying ``dumo``/``chisq``) and ``:669-673``:
-  ``chisq`` is the goodness-of-fit of the ramp (here: mean squared
-  active pair significance, ~1 for a clean ramp), stored float16;
-  ``dumo`` is the "dumb" slope — the simple two-point
-  (last clean resultant − first) / Δtbar estimate, slope-like in DN/s,
-  so the driver flat-fields it before writing
-  (``gen_cal_image.py:669-671``), also stored float16.
+  image model carrying ``dumo``/``chisq``) and ``:669-673``, pinned to
+  the published likelihood-fitter definitions (Brandt 2024,
+  arXiv:2404.01326):
+  ``chisq`` is the GLS chi-square of the adjacent resultant
+  differences against the one-parameter ramp with the tridiagonal
+  difference covariance, per degree of freedom (clean ramp => ~1);
+  see :func:`gls_chisq` (gated against a dense numpy GLS oracle);
+  ``dumo`` is the "dumb" slope — stcal ``likely_fit``'s initial
+  count-rate estimate, the two-point
+  (last clean resultant − first) / Δtbar, slope-like in DN/s, so the
+  driver flat-fields it before writing (``gen_cal_image.py:669-671``);
+  both stored float16.
 
 All data-dependent adaptivity is masked dense compute — one fused
 program, no per-pixel iteration.
@@ -85,6 +90,14 @@ class LikelyPlan(NamedTuple):
     vR: np.ndarray  # (npairs, ngrp) C_R d
     tbar: np.ndarray  # (ngrp,)
     rejection_threshold: float
+    # tridiagonal covariance templates of ADJACENT resultant
+    # differences delta_i = R_{i+1} - R_i (Brandt 2024 chi^2; see
+    # gls_chisq): Cov = dvardt * (aP, bP) + sig2read * (aR, bR)
+    dt_diff: np.ndarray  # (ndiff,) tbar_{i+1} - tbar_i
+    aP: np.ndarray  # (ndiff,) tau_i + tau_{i+1} - 2 tbar_i
+    aR: np.ndarray  # (ndiff,) 1/N_i + 1/N_{i+1}
+    bP: np.ndarray  # (ndiff-1,) tbar_{i+1} - tau_{i+1}
+    bR: np.ndarray  # (ndiff-1,) -1/N_{i+1}
 
 
 def build_likely_plan(meta, exclude_first=True, rejection_threshold=4.5,
@@ -135,6 +148,21 @@ def build_likely_plan(meta, exclude_first=True, rejection_threshold=4.5,
     vP = d @ C_P
     vR = d @ C_R
 
+    # adjacent-difference covariance templates (delta_i = R_{i+1}-R_i,
+    # i = 0..ngrp-2): from Cov(R_a,R_b) = a*C_P[a,b] + sig^2*C_R[a,b],
+    #   Var(delta_i)          = a (tau_i + tau_{i+1} - 2 tbar_i)
+    #                           + sig^2 (1/N_i + 1/N_{i+1})
+    #   Cov(delta_i, delta_{i+1}) = a (tbar_{i+1} - tau_{i+1})
+    #                           - sig^2 / N_{i+1}
+    tbar64 = meta["tbar"].astype(np.float64)
+    tau64 = meta["tau"].astype(np.float64)
+    N64 = meta["N"].astype(np.float64)
+    dt_diff = tbar64[1:] - tbar64[:-1]
+    aP = tau64[:-1] + tau64[1:] - 2.0 * tbar64[:-1]
+    aR = 1.0 / N64[:-1] + 1.0 / N64[1:]
+    bP = tbar64[1:-1] - tau64[1:-1]
+    bR = -1.0 / N64[1:-1]
+
     return LikelyPlan(
         start=start, ngrp=ngrp, nu=nu, log_u0=float(log_u0),
         dlog_u=float(dlog_u), m_of_variant=tuple(ms),
@@ -146,6 +174,9 @@ def build_likely_plan(meta, exclude_first=True, rejection_threshold=4.5,
         vP=vP.astype(np.float32), vR=vR.astype(np.float32),
         tbar=meta["tbar"].astype(np.float32),
         rejection_threshold=float(rejection_threshold),
+        dt_diff=dt_diff.astype(np.float32),
+        aP=aP.astype(np.float32), aR=aR.astype(np.float32),
+        bP=bP.astype(np.float32), bR=bR.astype(np.float32),
     )
 
 
@@ -164,6 +195,84 @@ def _select_K(plan, flat_idx, shape):
     return jnp.stack(
         [_flat_sel(Wf[:, t], flat_idx, shape) for t in range(ngrp)]
     )
+
+
+def gls_chisq(data, plan, m_eff, dvardt, sig2read):
+    """Per-dof GLS chi-square of the ramp, pinned to the likelihood
+    fitter's published formulation (Brandt 2024, arXiv:2404.01326,
+    eqs. 11-14; stcal ``likely_fit``): with adjacent resultant
+    differences delta_i = R_{i+1} - R_i, tridiagonal covariance C
+    (templates in the plan, evaluated at the fitted rate), and the
+    one-parameter model E[delta] = a * dt,
+
+        chi^2 = delta^T C^-1 delta
+                - (dt^T C^-1 delta)^2 / (dt^T C^-1 dt),
+
+    i.e. the GLS residual after profiling out the rate — NOT a sum of
+    independent pair significances (differences sharing a resultant
+    are correlated; the reference packages this statistic per pixel at
+    ``gen_cal_image.py:671-673``).  Returned per degree of freedom
+    (n_active_diffs - 1) so a clean ramp reads ~1.
+
+    Masked dense compute: differences outside [start, m_eff-2] are
+    deactivated by rewriting their tridiagonal row to the identity with
+    zero rhs (a fixed ``ngrp-1``-step Thomas solve, no data-dependent
+    shapes).  ``m_eff``: per-pixel one-past-the-last clean resultant.
+    """
+    ngrp = data.shape[0]
+    start = plan.start
+    nd = ngrp - 1  # template length; rows < start are always inactive
+    ii = jnp.arange(nd)[:, None, None]
+    act = (ii >= start) & (ii <= (m_eff - 2)[None])  # (nd, ny, nx)
+
+    delta = data[1:] - data[:-1]  # (nd, ny, nx)
+    dta = jnp.asarray(plan.dt_diff)[:, None, None]
+    alpha = (
+        jnp.asarray(plan.aP)[:, None, None] * dvardt[None]
+        + jnp.asarray(plan.aR)[:, None, None] * sig2read[None]
+    )
+    beta = (
+        jnp.asarray(plan.bP)[:, None, None] * dvardt[None]
+        + jnp.asarray(plan.bR)[:, None, None] * sig2read[None]
+    )
+    # masked rows: identity diagonal, zero coupling, zero rhs
+    alpha = jnp.where(act, jnp.clip(alpha, 1e-30, None), 1.0)
+    both = act[:-1] & act[1:]
+    beta = jnp.where(both, beta, 0.0)
+    r1 = jnp.where(act, delta, 0.0)
+    r2 = jnp.where(act, dta * jnp.ones_like(delta), 0.0)
+
+    # Thomas factorization shared by both right-hand sides (unrolled:
+    # nd is a small static count, each step one fused elementwise op)
+    cp = [None] * nd
+    d1 = [None] * nd
+    d2 = [None] * nd
+    denom = alpha[0]
+    cp[0] = beta[0] / denom if nd > 1 else None
+    d1[0] = r1[0] / denom
+    d2[0] = r2[0] / denom
+    for i in range(1, nd):
+        denom = alpha[i] - beta[i - 1] * cp[i - 1]
+        if i < nd - 1:
+            cp[i] = beta[i] / denom
+        d1[i] = (r1[i] - beta[i - 1] * d1[i - 1]) / denom
+        d2[i] = (r2[i] - beta[i - 1] * d2[i - 1]) / denom
+    x1 = [None] * nd
+    x2 = [None] * nd
+    x1[nd - 1] = d1[nd - 1]
+    x2[nd - 1] = d2[nd - 1]
+    for i in range(nd - 2, -1, -1):
+        x1[i] = d1[i] - cp[i] * x1[i + 1]
+        x2[i] = d2[i] - cp[i] * x2[i + 1]
+    x1 = jnp.stack(x1)
+    x2 = jnp.stack(x2)
+
+    q_dd = (r1 * x1).sum(axis=0)  # delta^T C^-1 delta
+    q_td = (r2 * x1).sum(axis=0)  # dt^T C^-1 delta
+    q_tt = (r2 * x2).sum(axis=0)  # dt^T C^-1 dt
+    chi2 = q_dd - q_td * q_td / jnp.clip(q_tt, 1e-30, None)
+    dof = act.sum(axis=0).astype(jnp.float32) - 1.0
+    return jnp.where(dof >= 1.0, chi2 / jnp.maximum(dof, 1.0), 0.0)
 
 
 def ramp_fit_likely(data, rdq, pdq, plan, gain, read_sigma, nborder=4):
@@ -302,26 +411,13 @@ def ramp_fit_likely(data, rdq, pdq, plan, gain, read_sigma, nborder=4):
     slope_err_poisson = jnp.sqrt(jnp.clip(qP * dvardt, 0.0, None))
     slope_err_read = read_sigma * jnp.sqrt(qR)
 
-    # --- chisq of the FINAL fit (post-refit slope/weights/active set;
-    # the truncated variant's pair set excludes the jump pair, so refit
-    # pixels report the clean prefix's goodness-of-fit, consistent with
-    # dumo — romancal-likely's chisq also describes the final fit) ---
-    chisq = jnp.zeros(shape, jnp.float32)
-    npair_active = jnp.zeros(shape, jnp.float32)
-    for p, (i, di) in enumerate(plan.pairs):
-        ds = (data[i + di] - data[i]) * plan.inv_dtbar[p] - slope
-        dotP = jnp.einsum("tyx,t->yx", K_sel, jnp.asarray(plan.vP[p]))
-        dotR = jnp.einsum("tyx,t->yx", K_sel, jnp.asarray(plan.vR[p]))
-        varP = plan.c1P[p] - 2.0 * dotP + qP
-        varR = plan.c1R[p] - 2.0 * dotR + qR
-        var = jnp.clip(varP * dvardt + varR * sig2read, 1e-30, None)
-        s2 = (ds * ds) / var
-        act_p = _flat_sel(
-            np.tile(plan.pair_active[:, p].astype(np.float32), nu),
-            flat_idx, shape,
-        ) > 0.5
-        chisq = chisq + jnp.where(act_p, s2, 0.0)
-        npair_active = npair_active + act_p
+    # --- chisq of the FINAL fit (post-refit active set: refit pixels
+    # report the clean prefix's goodness-of-fit, consistent with dumo).
+    # Exact GLS quadratic form with the tridiagonal difference
+    # covariance (Brandt 2024) — see gls_chisq; the covariance is
+    # evaluated at the final fitted rate. ---
+    chisq = gls_chisq(data, plan, jnp.minimum(firstsat, jump_grp + 1),
+                      dvardt, jnp.broadcast_to(sig2read, shape))
 
     # --- diagnostics ---
     # dumo: "dumb" two-point slope (last clean resultant - first) over
@@ -337,7 +433,6 @@ def ramp_fit_likely(data, rdq, pdq, plan, gain, read_sigma, nborder=4):
     for e in range(start + 1, ngrp):
         inv_dt[e] = 1.0 / (plan.tbar[e] - plan.tbar[start])
     dumo = (last - data[start]) * _flat_sel(inv_dt, end_idx, shape)
-    chisq = chisq / jnp.maximum(npair_active, 1.0)
 
     # --- pixel DQ propagation (shared rules, ramp.propagate_pdq) ---
     pdq_out = propagate_pdq(rdq_out, pdq, start)
