@@ -106,10 +106,13 @@ class SIPWCS:
         st, ct = np.sin(theta), np.cos(theta)
         dphi = phi - phip
         sdec = st * sdp + ct * cdp * np.cos(dphi)
-        sdec = np.clip(sdec, -1.0, 1.0)
-        dec = np.arcsin(sdec)
         y = -ct * np.sin(dphi)
         x = st * cdp - ct * sdp * np.cos(dphi)
+        # arctan2(sin dec, |cos dec|) instead of arcsin(sin dec): the
+        # rotation is orthogonal, so hypot(x, y) == cos(dec) exactly —
+        # arcsin loses sqrt(eps) (~1e-8 rad, ~4e-4 px) near the pole,
+        # i.e. exactly at the reference pixel
+        dec = np.arctan2(sdec, np.hypot(x, y))
         ra = ap + np.arctan2(y, x)
         return np.mod(ra, 2 * np.pi), dec
 
@@ -121,10 +124,12 @@ class SIPWCS:
         sd, cdv = np.sin(dec), np.cos(dec)
         dra = ra - ap
         st = sd * sdp + cdv * cdp * np.cos(dra)
-        st = np.clip(st, -1.0, 1.0)
-        theta = np.arcsin(st)
         y = -cdv * np.sin(dra)
         x = sd * cdp - cdv * sdp * np.cos(dra)
+        # stable pole form (see _celestial_from_native): the round trip
+        # must hold to ~1e-6 px for the embedded-WCS reconstruction
+        # contract, and arcsin alone cannot deliver that near CRPIX
+        theta = np.arctan2(st, np.hypot(x, y))
         phi = phip + np.arctan2(y, x)
         return phi, theta
 

@@ -131,3 +131,27 @@ def test_sip_vflip_roundtrip():
     x2, y2 = w2.world2pix(ra, dec)
     assert np.abs(pts[:, 0] - x2).max() < 1e-4
     assert np.abs(((N - 1.0) - pts[:, 1]) - y2).max() < 1e-4
+
+
+def test_roundtrip_precision_near_crpix():
+    """pix->world->pix must hold to well under 1e-6 px EVERYWHERE,
+    including at/near the reference pixel: the arcsin form of the
+    spherical rotation lost sqrt(eps) (~4e-4 px) exactly at CRPIX,
+    where the native frame's pole sits.  Guards the stable arctan2
+    form (the embedded-WCS reconstruction contract is 1e-6 px)."""
+    for ctype in ("TAN", "STG"):
+        h = {"CRPIX1": 2044.0, "CRPIX2": 2044.0, "CRVAL1": 80.1,
+             "CRVAL2": -69.2, "CD1_1": -2.8e-5, "CD1_2": 1.3e-6,
+             "CD2_1": 1.2e-6, "CD2_2": 2.9e-5,
+             "CTYPE1": f"RA---{ctype}-SIP", "A_ORDER": 2, "B_ORDER": 2,
+             "A_2_0": 2e-7, "A_0_2": -1.5e-7, "A_1_1": 8e-8,
+             "B_2_0": -9e-8, "B_0_2": 2.2e-7, "B_1_1": -6e-8}
+        w = wcsutils.SIPWCS.from_header(h, zero_based=True)
+        g = np.linspace(0, 4087, 17)
+        X, Y = np.meshgrid(g, g)
+        x = np.concatenate([X.ravel(), [2044.0, 2043.5, 2044.25]])
+        y = np.concatenate([Y.ravel(), [2044.0, 2044.5, 2043.75]])
+        ra, dec = w.pix2world(x, y)
+        x1, y1 = w.world2pix(ra, dec)
+        err = np.max(np.hypot(x1 - x, y1 - y))
+        assert err < 1e-7, (ctype, err)
