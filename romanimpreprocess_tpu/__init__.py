@@ -13,3 +13,13 @@ pipelines, masked dense compute instead of data-dependent branching,
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache (ROMAN_XLA_CACHE=0 to disable): on
+# the axon TPU relay, remote compiles are minutes each through a single
+# global queue; caching executables on local disk makes every repeated
+# program shape (bench reruns, tests, production batches) load in
+# seconds instead.  See utils/compilecache.py for the measurements.
+from .utils import compilecache as _compilecache
+
+_compilecache.enable()
+del _compilecache
