@@ -20,6 +20,14 @@ import time
 
 import numpy as np
 
+#: Bumped whenever the timed chain program changes (e.g. the honest
+#: all-outputs checksum added Aug 19).  Stored in the Pallas prewarm
+#: marker: a marker written for a DIFFERENT program revision means the
+#: persistent compilation cache holds the OLD executables, so the
+#: "prewarmed" Pallas attempt would actually compile cold (4-30 min)
+#: and blow its budget.
+_BENCH_REV = 2
+
 
 def _wait_for_backend():
     """Probe the default JAX backend in a SUBPROCESS (a hung axon
@@ -307,7 +315,9 @@ def _pallas_marker(nside):
             marker = json.load(f)
     except (OSError, ValueError):
         return None
-    return marker if marker.get("jax") == jax.__version__ else None
+    ok = (marker.get("jax") == jax.__version__
+          and marker.get("rev") == _BENCH_REV)
+    return marker if ok else None
 
 
 def _extra_pallas(extras, nside, budget_s):
@@ -343,7 +353,7 @@ def _extra_pallas(extras, nside, budget_s):
 
             try:
                 with open(p, "w") as f:
-                    json.dump({"jax": jax.__version__,
+                    json.dump({"jax": jax.__version__, "rev": _BENCH_REV,
                                "samples_ms": samples}, f)
             except OSError:
                 pass
@@ -398,8 +408,16 @@ def _core_samples(jax, jnp, functools, benchlib, l1_to_l2, nside,
     def chained(arrs, n):
         def body(carry, _):
             out = core(dict(arrs, data=carry))
-            carry2 = carry + (out["slope"][:1, :1].sum() * 0).astype(carry.dtype)
-            return carry2, out["slope"][0, 0]
+            # consume EVERY output at full frame: a chain that reads
+            # only slope[0,0] lets XLA dead-code-eliminate the
+            # err/var/dq maps and the smooth-mode sky diagnostic, so
+            # the "full calibration" headline would actually time a
+            # slope-only program (discovered via the ablate profiler's
+            # impossible "minus medfit = 2.7 ms" marginal, Aug 19)
+            cks = sum(jnp.sum(v.astype(jnp.float32))
+                      for v in jax.tree_util.tree_leaves(out))
+            carry2 = carry + (cks * 0).astype(carry.dtype)
+            return carry2, cks
 
         _, ss = jax.lax.scan(body, arrs["data"], None, length=n)
         return ss
@@ -434,7 +452,7 @@ def _bench_exposure(jax, jnp, functools, benchlib, nside,
     prep = dict(
         prep,
         cfg=dict(prep["cfg"], ipc_pallas=pallas, lin_pallas=pallas,
-                 med_pallas=pallas),
+                 med_pallas=pallas, pink_pallas=pallas),
     )
     # staged runner: the calibration core compiles ONCE and is
     # re-dispatched for the base + both 'R' re-entries (the fused

@@ -435,14 +435,16 @@ def core_key(plan, cfg, geom):
 def cal_cfg(cfg):
     """The cfg subset the CALIBRATION core actually reads.
 
-    Strips sim/noise-only keys (currently the read-axis ``contract``
-    backend) so configs differing only in those share one compiled cal
-    program — the single definition used by ``_get_core``,
-    ``parallel.make_fpa_calibrator``, and ``parallel.calibrate_fpa``'s
-    grouping (three hand-rolled copies of this strip would be the same
-    drift hazard class as the round-1 W.sum() key collision).
+    Strips sim/noise-only keys (the read-axis ``contract`` backend and
+    the fill's ``pink_pallas``) so configs differing only in those
+    share one compiled cal program — the single definition used by
+    ``_get_core``, ``parallel.make_fpa_calibrator``, and
+    ``parallel.calibrate_fpa``'s grouping (three hand-rolled copies of
+    this strip would be the same drift hazard class as the round-1
+    W.sum() key collision).
     """
-    return {k: v for k, v in cfg.items() if k != "contract"}
+    return {k: v for k, v in cfg.items()
+            if k not in ("contract", "pink_pallas")}
 
 
 def _get_core(plan, cfg, geom):
@@ -699,6 +701,10 @@ def prepare_inputs(l1, config, pack, area_factor=None):
         # 'pallas' (ops.contract_pallas streaming kernel) — consumed by
         # the sim accumulator and the noise 'P' resample
         contract=str(config.get("CONTRACT_BACKEND", "dot")).lower(),
+        # 1/f synthesis backend for the noise-engine fills (the
+        # calibration core itself never draws pink noise)
+        pink_pallas=(str(config.get("PINK_BACKEND", "xla")).lower()
+                     == "pallas"),
         has_dark_dq=pack.dark_dq is not None,
         skyorder=int(config.get("SKYORDER", -1)),
     )

@@ -213,6 +213,7 @@ def make_exposure_noise_core(prep, pack, layers, config=None, jit=True):
     fillcore = sim_to_l1._fill_core_factory(
         tuple(len(g) for g in read_pattern), nside, cw, nb, True,
         bool(do_amp33), im_is_active=True,
+        pink_pallas=cfg.get("pink_pallas", False),
     )
     def _layer_R(lkey, cmd, arrs, base, endslice_c):
         flags = layer_subscript(cmd, "R")
@@ -446,6 +447,7 @@ def _staged_layer_machinery(prep, pack, config, mesh=None):
     fillcore_act = sim_to_l1._fill_core_factory(
         tuple(len(g) for g in read_pattern), nside, cw, nb, True,
         bool(do_amp33), im_is_active=True,
+        pink_pallas=cfg.get("pink_pallas", False),
     )
 
     weightvecs, start = weightvec_table(
@@ -702,6 +704,7 @@ def make_staged_exposure_runner(prep, pack, layers, config=None,
     fillcore_active = sim_to_l1._fill_core_factory(
         tuple(len(g) for g in read_pattern), nside, cw, nb, True,
         bool(m.do_amp33), im_is_active=True,
+        pink_pallas=cfg.get("pink_pallas", False),
     )
     if mesh is not None:
         # wrap through the machinery's identity cache: the factories
@@ -798,6 +801,7 @@ def make_full_exposure_core(prep, pack, layers, config=None):
     fillcore = sim_to_l1._fill_core_factory(
         tuple(len(g) for g in read_pattern), nside, cw, nb, True,
         bool(do_amp33), im_is_active=True,
+        pink_pallas=cfg.get("pink_pallas", False),
     )
     @jax.jit
     def run(key, arrs):

@@ -391,7 +391,8 @@ def make_l1_fullcal(key, counts_rate_e, read_pattern, pack, frame_time=None,
 
 
 def fill_in_refdata_and_1f(key, im, pack, read_pattern, nside, channelwidth,
-                           fill_in_banding=True, amp33=None, nborder=4):
+                           fill_in_banding=True, amp33=None, nborder=4,
+                           pink_pallas=False):
     """Fill reference pixels and add 1/f banding + amp33 (device).
 
     Mirrors reference ``fill_in_refdata_and_1f`` (``sim_to_isim.py:306-402``):
@@ -429,7 +430,7 @@ def fill_in_refdata_and_1f(key, im, pack, read_pattern, nside, channelwidth,
     nvec = tuple(len(g) for g in read_pattern)
     core = _fill_core_factory(
         nvec, nside, channelwidth, nborder, bool(fill_in_banding),
-        bool(do_amp33), im_is_active,
+        bool(do_amp33), im_is_active, pink_pallas=bool(pink_pallas),
     )
     im_u16, amp33_u16 = core(key, arrs)
     return im_u16, (amp33_u16 if do_amp33 else None)
@@ -439,15 +440,19 @@ _FILL_CORE_CACHE = {}
 
 
 def _fill_core_factory(nvec, nside, channelwidth, nborder, fill_in_banding,
-                       do_amp33, im_is_active=False):
+                       do_amp33, im_is_active=False, pink_pallas=False):
     """The pink-noise amplitudes (``c_pink``/``u_pink``/``m_pink``/
     ``ru_pink``) are RUNTIME scalars in ``arrs``, not factory
     constants: they come from each SCA's ``read`` calibration file, so
     baking them into the compiled program would force one fill-core
     (remote) compile per detector and fragment mixed-SCA focal-plane
-    batches into per-SCA machinery groups."""
+    batches into per-SCA machinery groups.
+
+    ``pink_pallas``: route the 1/f synthesis through the fused TPU
+    kernel (``ops.pink_pallas``) instead of the XLA matmul pipeline
+    (cfg key ``pink_pallas``, same pattern as ``ipc_pallas``)."""
     key_t = (nvec, nside, channelwidth, nborder, fill_in_banding, do_amp33,
-             im_is_active)
+             im_is_active, pink_pallas)
     if key_t in _FILL_CORE_CACHE:
         return _FILL_CORE_CACHE[key_t]
 
@@ -499,7 +504,8 @@ def _fill_core_factory(nvec, nside, channelwidth, nborder, fill_in_banding,
             # frames: per group, 1 common + nch unique (+1 amp33)
             per_grp = 1 + nch + (1 if do_amp33 else 0)
             frames = pink.pink_frames(
-                k_pink, ngrp * per_grp, nside, channelwidth
+                k_pink, ngrp * per_grp, nside, channelwidth,
+                pallas=pink_pallas,
             )
             frames = frames.reshape(ngrp, per_grp, nside, channelwidth)
             common = frames[:, 0] * arrs["c_pink"]
@@ -657,6 +663,9 @@ class Image2D:
             fill_in_banding=True,
             amp33=(np.zeros(1) if (pack.amp33_valid and not no_amp33) else None),
             nborder=nb,
+            pink_pallas=(
+                str(config.get("PINK_BACKEND", "xla")).lower() == "pallas"
+            ),
         )
         im_u16 = np.asarray(im_u16)
         amp33_u16 = np.asarray(amp33_u16) if amp33_u16 is not None else None

@@ -201,6 +201,7 @@ def run_many_mesh(config1, config2, nrun, outfile=None, mesh=None,
     fillcore = m.wrap_cached(s2l._fill_core_factory(
         tuple(len(g) for g in m.read_pattern), nside, m.geom[2], nb,
         True, bool(m.do_amp33), im_is_active=True,
+        pink_pallas=m.cfg.get("pink_pallas", False),
     ))
     core_v = m.wrap_cached(l1_to_l2._get_core(
         prep["plan"],

@@ -90,9 +90,15 @@ def build(nside):
         fr = pink.pink_frames(key, nframes, nside, cw)
         return cksum(key, fr)
 
-    def fillfn(banding):
+    @jax.jit
+    def pinkp(key):
+        fr = pink.pink_frames(key, nframes, nside, cw, pallas=True)
+        return cksum(key, fr)
+
+    def fillfn(banding, pink_pallas=False):
         core = sim_to_l1._fill_core_factory(
             NVEC, nside, cw, 4, banding, True, im_is_active=True,
+            pink_pallas=pink_pallas,
         )
 
         # arrs passed as an ARGUMENT (closing device arrays over the
@@ -109,8 +115,10 @@ def build(nside):
         "spec": spec,
         "fft": fft,
         "pink": pinkf,
+        "pink_pallas": pinkp,
         "noband": fillfn(False),
         "fill": fillfn(True),
+        "fill_pallas": fillfn(True, pink_pallas=True),
     }
 
 

@@ -34,7 +34,7 @@ def build(nside):
     prep = dict(
         prep,
         cfg=dict(prep["cfg"], ipc_pallas=pallas, lin_pallas=pallas,
-                 med_pallas=pallas),
+                 med_pallas=pallas, pink_pallas=pallas),
     )
     m = noise_core._staged_layer_machinery(prep, pack, None)
     cfg = prep["cfg"]
@@ -46,6 +46,7 @@ def build(nside):
     fillcore_active = sim_to_l1._fill_core_factory(
         tuple(len(g) for g in read_pattern), nside, m.geom[2], m.geom[1],
         True, bool(m.do_amp33), im_is_active=True,
+        pink_pallas=pallas,
     )
     # match bench._bench_exposure's HBM residency exactly: with the
     # Pallas backends on, every stage consumes only the pre-padded

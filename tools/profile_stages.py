@@ -175,7 +175,10 @@ def main_ablate():
 
     The fused core's XLA graph elides work that standalone stage
     timings count, so marginal (ablation) numbers are the truthful
-    attribution.
+    attribution.  The chain consumes a full-frame sum of every output
+    (matching bench.py's honest checksum): each variant times the
+    complete L2 product, so a marginal is exactly the stage's cost in
+    the program users run.
     """
     from romanimpreprocess_tpu.pipeline import l1_to_l2
 
@@ -197,8 +200,15 @@ def main_ablate():
         def chained(data, a, n):
             def body(carry, _):
                 out = core(dict(a, data=carry))
-                c2 = carry + (out["slope"][:1, :1].sum() * 0).astype(carry.dtype)
-                return c2, out["slope"][0, 0]
+                # full-frame sum of EVERY output: consuming only
+                # slope[0,0] lets XLA slice the whole frame away in
+                # variants where no full-frame reduction (medfit)
+                # remains — the old "minus medfit = 2.7 ms" marginal
+                # was that DCE artifact, not a stage attribution
+                cks = sum(jnp.sum(v.astype(jnp.float32))
+                          for v in jax.tree_util.tree_leaves(out))
+                c2 = carry + (cks * 0).astype(carry.dtype)
+                return c2, cks
             _, ss = jax.lax.scan(body, data, None, length=n)
             return ss
         d0 = arrs["data"]
