@@ -189,6 +189,87 @@ def ipc_rev2_cube_blocked(cube, kernel, gain=None, th=16, interpret=False,
     return res
 
 
+def _ipc_kernel_stream(y_ref, k_ref, out_ref, y_ring, k_ring, *, th,
+                       n_tiles):
+    """Single-read streaming variant: each grid step loads ONE tile of
+    the cube and kernel (vs the blocked kernel's three shifted halo
+    windows = 3x HBM traffic, ~2.3 GB extra per call at 4096^2) into a
+    3-slot VMEM ring; the output for tile i-2 is computed once its
+    bottom halo (tile i) has arrived.  Identical math to
+    :func:`_ipc_kernel_blocked`."""
+    i = pl.program_id(0)
+    slot = jax.lax.rem(i, 3)
+    y_ring[slot] = y_ref[...]
+    k_ring[slot] = k_ref[...]
+
+    @pl.when(i >= 2)
+    def _():
+        s0 = jax.lax.rem(i + 1, 3)  # (i-2) mod 3
+        s1 = jax.lax.rem(i + 2, 3)  # (i-1) mod 3
+        y = jnp.concatenate([y_ring[s0], y_ring[s1], y_ring[slot]],
+                            axis=1)  # (G, 3th, W)
+        k = jnp.concatenate([k_ring[s0], k_ring[s1], k_ring[slot]],
+                            axis=1)
+        y2 = y[:, th - 2 : 2 * th + 2]
+        k2 = k[:, th - 2 : 2 * th + 2]
+        a = _apply_k_gslab(y2, k2, th + 2)
+        b = _apply_k_gslab(a, k2[:, 1 : th + 3], th)
+        out_ref[...] = 3.0 * y2[:, 2 : th + 2] - 3.0 * a[:, 1 : th + 1] + b
+
+
+@functools.partial(jax.jit, static_argnames=("th", "interpret", "vmem_mb"))
+def ipc_rev2_cube_stream(cube, kernel, gain=None, th=16, interpret=False,
+                         vmem_mb=96):
+    """Order-2 IPC inverse, single-read streaming form.
+
+    Same contract and math as :func:`ipc_rev2_cube_blocked` (bit-
+    identical output) but the cube and the 9 kernel planes stream from
+    HBM exactly once: the row halo is carried in a VMEM ring buffer
+    across sequential grid steps instead of three overlapping
+    BlockSpec windows.  The output block index is clamped while the
+    ring warms up (steps 0-1 compute nothing; their out block is
+    overwritten by step 2 before the first flush)."""
+    ngrp, na, _ = cube.shape
+    y = cube if gain is None else cube * gain
+
+    rows_out, width, n_tiles, rows_in = _pad_geom(na, th)
+
+    yp = jnp.zeros((ngrp, rows_in, width), dtype=jnp.float32)
+    yp = yp.at[:, th : th + na, 2 : 2 + na].set(y)
+    kp = _kernel_padded_or_pad(kernel, na, th, width, rows_in)
+
+    out = pl.pallas_call(
+        functools.partial(_ipc_kernel_stream, th=th, n_tiles=n_tiles),
+        grid=(n_tiles + 2,),
+        in_specs=[
+            pl.BlockSpec((ngrp, th, width), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, th, width), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (ngrp, th, width),
+            lambda i: (0, jnp.maximum(i - 2, 0), 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((ngrp, rows_out, width), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((3, ngrp, th, width), jnp.float32),
+            pltpu.VMEM((3, 9, th, width), jnp.float32),
+        ],
+        compiler_params=(
+            None if interpret
+            else pltpu.CompilerParams(vmem_limit_bytes=vmem_mb * 1024 * 1024)
+        ),
+        interpret=interpret,
+    )(yp, kp)
+
+    res = out[:, :na, 2 : 2 + na]
+    if gain is not None:
+        res = res / gain
+    return res
+
+
 def _ipc_fwd_kernel_blocked(ya, yc, yb, ka, kc, kb, out_ref, *, th):
     """Single forward K application (same slab/halo layout as the
     order-2 inverse kernel)."""

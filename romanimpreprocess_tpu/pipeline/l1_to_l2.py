@@ -229,8 +229,16 @@ def make_core(plan, cfg, geom):
                 # th=32 measured fastest at full frame (10.7 vs 11.6 ms
                 # at th=16 standalone on v5e); the pre-padded kernel
                 # planes (kernel_planes_padded, th=32) skip the ~0.6 GB
-                # per-dispatch slab build when the caller provides them
-                corr = ipc_pallas.ipc_rev2_cube_blocked(
+                # per-dispatch slab build when the caller provides them.
+                # ipc_stream: the single-read ring-buffer form (one HBM
+                # pass over cube+kernel instead of three halo windows;
+                # bit-identical — see ipc_pallas._ipc_kernel_stream)
+                ipc_fn = (
+                    ipc_pallas.ipc_rev2_cube_stream
+                    if cfg.get("ipc_stream", False)
+                    else ipc_pallas.ipc_rev2_cube_blocked
+                )
+                corr = ipc_fn(
                     stacked,
                     arr.get("ipc_kernel_padded", arr.get("ipc_kernel")),
                     th=32, vmem_mb=128,
@@ -694,7 +702,12 @@ def prepare_inputs(l1, config, pack, area_factor=None):
         first_is_reset=(read_pattern[0] == [0]),
         has_ipc="ipc4d" in caldir,
         # fused Pallas kernels (TPU only; the CPU interpreter is slow)
-        ipc_pallas=(str(config.get("IPC_BACKEND", "xla")).lower() == "pallas"),
+        # IPC_BACKEND: 'xla', 'pallas' (blocked halo windows) or
+        # 'pallas-stream' (single-read ring buffer, bit-identical)
+        ipc_pallas=(str(config.get("IPC_BACKEND", "xla")).lower()
+                    in ("pallas", "pallas-stream")),
+        ipc_stream=(str(config.get("IPC_BACKEND", "xla")).lower()
+                    == "pallas-stream"),
         lin_pallas=(str(config.get("LIN_BACKEND", "xla")).lower() == "pallas"),
         med_pallas=(str(config.get("SKY_BACKEND", "xla")).lower() == "pallas"),
         # read-axis resultant contraction: 'dot' (XLA dot_general) or

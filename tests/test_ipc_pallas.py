@@ -172,3 +172,28 @@ def test_prepadded_kernel_th_mismatch_raises():
     cube, _ = _mk(1, 96)
     with pytest.raises(ValueError, match="slab geometry"):
         ipc_pallas.ipc_rev2_cube_blocked(cube, Kp, th=16, interpret=True)
+
+
+@pytest.mark.parametrize("na,th", [(96, 16), (100, 16), (64, 8)])
+def test_stream_bitexact_vs_blocked(na, th):
+    """The single-read ring-buffer form must be BIT-identical to the
+    blocked (three-halo-window) kernel — same tap math, same order."""
+    cube, K = _mk(2, na)
+    a = np.array(
+        ipc_pallas.ipc_rev2_cube_blocked(cube, K, th=th, interpret=True))
+    b = np.array(
+        ipc_pallas.ipc_rev2_cube_stream(cube, K, th=th, interpret=True))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_stream_gain_and_padded_kernel():
+    cube, K = _mk(3, 96)
+    g = jnp.asarray(rng.uniform(1.4, 1.6, (96, 96)).astype(np.float32))
+    a = np.array(
+        ipc_pallas.ipc_rev2_cube_blocked(cube, K, gain=g, th=8,
+                                         interpret=True))
+    Kp = jnp.asarray(ipc_pallas.kernel_planes_padded(np.asarray(K), th=8))
+    b = np.array(
+        ipc_pallas.ipc_rev2_cube_stream(cube, Kp, gain=g, th=8,
+                                        interpret=True))
+    np.testing.assert_array_equal(a, b)

@@ -91,6 +91,16 @@ def main():
         corr = ipc_pallas.ipc_rev2_cube_blocked(stacked, a["ipc_kernel"])
         return corr[0, 0, 0]
 
+    def st_ipc_stream(data, a):
+        gain_act = a["gain"][nb:-nb, nb:-nb]
+        stacked = jnp.concatenate([
+            data[:, nb:-nb, nb:-nb] * gain_act[None],
+            (a["dark_slope"][nb:-nb, nb:-nb] * gain_act)[None],
+            (a["flat"][nb:-nb, nb:-nb] * gain_act)[None]])
+        corr = ipc_pallas.ipc_rev2_cube_stream(stacked, a["ipc_kernel"],
+                                               th=32, vmem_mb=128)
+        return corr[0, 0, 0]
+
     def st_ipc_xla(data, a):
         gain_act = a["gain"][nb:-nb, nb:-nb]
         stacked = jnp.concatenate([
@@ -119,6 +129,7 @@ def main():
         ("refpix", st_refpix),
         ("linearity", st_linearity),
         ("ipc_pallas", st_ipc_pallas),
+        ("ipc_stream", st_ipc_stream),
         ("ipc_xla", st_ipc_xla),
         ("ramp_fit", st_ramp),
         ("sky", st_sky),
@@ -225,17 +236,21 @@ def main_ablate():
     out = {"full": round(base * 1e3, 2)}
     variants = [
         ("saturation",), ("refpix",), ("linearity",), ("ipc",), ("sky",),
-        ("smooth",), ("medfit",), ("lin_pallas",),
+        ("smooth",), ("medfit",), ("lin_pallas",), ("ipc_stream",),
+        ("med_pallas",),
     ]
+    swap = {("lin_pallas",): dict(lin_pallas=True),
+            ("ipc_stream",): dict(ipc_stream=True),
+            ("med_pallas",): dict(med_pallas=True)}
     for v in variants:
-        if v == ("lin_pallas",):
-            c = dict(cfg, lin_pallas=True)
+        if v in swap:
+            c = dict(cfg, **swap[v])
         else:
             c = dict(cfg, ablate=v)
         dt = timed_core(l1_to_l2.make_core(plan, c, geom))
         tag = "+".join(v)
-        label = tag if v == ("lin_pallas",) else "minus " + tag
-        delta = (dt - base) if v == ("lin_pallas",) else (base - dt)
+        label = tag if v in swap else "minus " + tag
+        delta = (dt - base) if v in swap else (base - dt)
         print(f"{label:14s} {dt * 1e3:8.2f} ms  (marginal {delta * 1e3:+7.2f})",
               flush=True)
         out[label] = round(dt * 1e3, 2)
