@@ -21,12 +21,13 @@ import time
 import numpy as np
 
 #: Bumped whenever the timed chain program changes (e.g. the honest
-#: all-outputs checksum added Aug 19).  Stored in the Pallas prewarm
+#: all-outputs checksum added Aug 19; rev 3 = default core outputs
+#: trimmed to the product contract).  Stored in the Pallas prewarm
 #: marker: a marker written for a DIFFERENT program revision means the
 #: persistent compilation cache holds the OLD executables, so the
 #: "prewarmed" Pallas attempt would actually compile cold (4-30 min)
 #: and blow its budget.
-_BENCH_REV = 2
+_BENCH_REV = 3
 
 
 def _wait_for_backend():
@@ -127,8 +128,14 @@ def main():
     pallas_mode = os.environ.get("ROMAN_BENCH_PALLAS", "1")
     if backend_ok and jax.default_backend() == "tpu" and pallas_mode != "0":
         if pallas_mode == "force" or _pallas_marker(nside) is not None:
+            # Warm-path floor (measured Aug 19, r4b batch): even with
+            # every executable in the local persistent cache the child
+            # pays backend init (~2 min on a cold relay) + bundle build
+            # + H2D over the HTTP relay + 2 executable loads — a 300 s
+            # budget killed a healthy warm run.  600 s covers the floor
+            # with margin while still bounding a cache-miss recompile.
             budget = float(
-                os.environ.get("ROMAN_BENCH_PALLAS_BUDGET_S", "300"))
+                os.environ.get("ROMAN_BENCH_PALLAS_BUDGET_S", "600"))
             pallas_ok = _extra_pallas(extras, nside, budget)
         else:
             extras["pallas_core_error"] = (
@@ -183,8 +190,7 @@ def main():
     # whatever landed. ---
     import subprocess
 
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "BENCH_EXTRAS.json")
+    out_path = _extras_path()
     try:
         with open(out_path, "w") as f:
             json.dump({"headline": result,
@@ -207,6 +213,21 @@ def main():
               file=sys.stderr, flush=True)
 
 
+def _extras_path():
+    """BENCH_EXTRAS.json lives next to this file; smoke runs at reduced
+    nside (ROMAN_BENCH_NSIDE != 4096) redirect to a scratch path so a
+    harness test can never clobber the committed measurement artifact
+    (a 64^2 CPU smoke run silently overwrote the real 4096^2 record
+    once, Aug 19)."""
+    p = os.environ.get("ROMAN_BENCH_EXTRAS_PATH")
+    if p:
+        return p
+    if os.environ.get("ROMAN_BENCH_NSIDE", "4096") != "4096":
+        return os.path.join("/tmp", "BENCH_EXTRAS_smoke.json")
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_EXTRAS.json")
+
+
 def _extras_child():
     """Subprocess entry: compute the optional extras, updating
     BENCH_EXTRAS.json after each one (the parent may kill us at any
@@ -221,8 +242,7 @@ def _extras_child():
 
     nside = int(os.environ.get("ROMAN_BENCH_NSIDE", "4096"))
     pallas_ok = os.environ.get("ROMAN_BENCH_PALLAS_OK", "0") == "1"
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "BENCH_EXTRAS.json")
+    out_path = _extras_path()
     with open(out_path) as f:
         prior = json.load(f)
     result = prior["headline"]
@@ -338,9 +358,19 @@ def _extra_pallas(extras, nside, budget_s):
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--pallas-core"],
             timeout=budget_s, capture_output=True, text=True, env=env)
-    except subprocess.TimeoutExpired:
+    except subprocess.TimeoutExpired as e:
+        # the child's stage marks say where the budget went (backend
+        # init / bundle / compile-or-load) — keep the tail for diagnosis
+        tail = ""
+        for stream in (e.stderr, e.stdout):
+            if stream:
+                if isinstance(stream, bytes):
+                    stream = stream.decode("utf-8", "replace")
+                tail = tail + " | " + "; ".join(
+                    stream.strip().splitlines()[-3:])
         extras["pallas_core_error"] = (
-            f"killed (Pallas compile exceeded {budget_s:.0f}s budget)")
+            f"killed (Pallas attempt exceeded {budget_s:.0f}s budget)"
+            + tail[:400])
         return False
     if r.returncode == 0 and "PALLAS_SAMPLES=" in r.stdout:
         samples = json.loads(
@@ -363,7 +393,14 @@ def _extra_pallas(extras, nside, budget_s):
 
 
 def _pallas_child():
-    """Subprocess entry for the budgeted Pallas headline attempt."""
+    """Subprocess entry for the budgeted Pallas headline attempt.
+
+    Prints stage timestamps to stderr: when the parent kills an
+    over-budget attempt, the captured tail says WHERE the time went
+    (backend init vs bundle vs compile/load) instead of leaving the
+    next round to guess (the round-4b 300 s kill was undiagnosable
+    from a silent child).
+    """
     import functools
 
     import jax
@@ -372,15 +409,24 @@ def _pallas_child():
     from romanimpreprocess_tpu import benchlib
     from romanimpreprocess_tpu.pipeline import l1_to_l2
 
+    t0 = time.perf_counter()
+
+    def _mark(stage):
+        print(f"pallas-child {stage} at {time.perf_counter() - t0:.1f}s",
+              file=sys.stderr, flush=True)
+
     nside = int(os.environ.get("ROMAN_BENCH_NSIDE", "4096"))
+    jax.devices()
+    _mark("backend up")
     samples = _core_samples(jax, jnp, functools, benchlib, l1_to_l2, nside,
-                            pallas=True)
+                            pallas=True, mark=_mark)
+    _mark("samples done")
     print("PALLAS_SAMPLES="
           + json.dumps([round(s * 1e3, 3) for s in samples]), flush=True)
 
 
 def _core_samples(jax, jnp, functools, benchlib, l1_to_l2, nside,
-                  likelihood=False, repeats=3, pallas=None):
+                  likelihood=False, repeats=3, pallas=None, mark=None):
     """Median-of-``repeats`` chain-difference wall clocks of the full
     L1->L2 calibration core (ms-scale run-to-run scatter on the relay
     is ~±5%, so a single sample cannot resolve round-to-round deltas).
@@ -394,8 +440,10 @@ def _core_samples(jax, jnp, functools, benchlib, l1_to_l2, nside,
     (None) enables them on TPU; the headline passes False explicitly —
     cold-cache Pallas remote compiles must never gate the headline.
     """
+    mark = mark or (lambda s: None)
     arr, plan, cfg, geom = benchlib.core_bundle(nside=nside,
                                                 likelihood=likelihood)
+    mark("bundle built")
     if pallas is None:
         pallas = jax.default_backend() == "tpu"
     cfg = dict(cfg, ipc_pallas=pallas, lin_pallas=pallas, med_pallas=pallas)
@@ -403,6 +451,7 @@ def _core_samples(jax, jnp, functools, benchlib, l1_to_l2, nside,
         del arr["ipc_kernel"]  # the Pallas core consumes the padded slab only
     core = l1_to_l2.make_core(plan, cfg, geom)
     arr = {k: jax.device_put(jnp.asarray(v)) for k, v in arr.items()}
+    mark("arrays on device")
 
     @functools.partial(jax.jit, static_argnums=1)
     def chained(arrs, n):
@@ -424,7 +473,9 @@ def _core_samples(jax, jnp, functools, benchlib, l1_to_l2, nside,
 
     n_lo, n_hi = 1, 5
     jax.device_get(chained(arr, n_lo))  # compile both lengths
+    mark("chain n_lo compiled")
     jax.device_get(chained(arr, n_hi))
+    mark("chain n_hi compiled")
     samples = []
     for _ in range(repeats):
         t0 = time.perf_counter()

@@ -100,6 +100,19 @@ def _dark_decay_signal(read_pattern, frame_time, amplitude, time_constant):
     return np.asarray(out, dtype=np.float32)
 
 
+#: Default core output set = exactly what the L2 product consumes
+#: (``package_tree``; reference ImageModel fields, gen_cal_image.py
+#: :645-700).  The full group DQ ``rdq`` (a 400 MB cube at 4096^2) and
+#: the applied ``flat`` map are intermediate diagnostics the product
+#: never carries — materializing them as program outputs costs HBM
+#: writes and blocks fusion of the jump-bit stack into the pixel-DQ
+#: reduction.  Tests/tools that want them request
+#: ``cfg["outputs"] = (..., "rdq", "flat")`` explicitly.
+PRODUCT_OUTPUTS = (
+    "slope", "slope_withsky", "slope_err_read", "slope_err_poisson",
+    "pdq", "medsky", "skycoefs", "endslice",
+)
+
 WFI18_DEFAULT_TAUS = (150.0, 1300.0)
 
 
@@ -342,13 +355,17 @@ def make_core(plan, cfg, geom):
             # dumo is slope-like -> flat-field it (gen_cal_image.py:671)
             out["dumo"] = dumo / flat
             out["chisq"] = chisq
-        if cfg.get("outputs"):
-            # restricted-output variant: XLA dead-code-eliminates every
-            # op feeding only dropped fields (e.g. a slope-only core for
-            # noise-layer re-entries skips the error/variance maps and
-            # the smooth-mode sky diagnostic entirely)
-            out = {k: out[k] for k in cfg["outputs"]}
-        return out
+        # restricted-output variant: XLA dead-code-eliminates every op
+        # feeding only dropped fields (e.g. a slope-only core for
+        # noise-layer re-entries skips the error/variance maps and the
+        # smooth-mode sky diagnostic entirely).  The DEFAULT is the
+        # product contract (PRODUCT_OUTPUTS + the likelihood
+        # diagnostics) — see the PRODUCT_OUTPUTS note.
+        keys = cfg.get("outputs") or (
+            PRODUCT_OUTPUTS + (("dumo", "chisq") if dumo is not None
+                               else ())
+        )
+        return {k: out[k] for k in keys}
 
     return jax.jit(core)
 
@@ -817,7 +834,6 @@ def package_tree(out, prep, l1, config):
 
     slope = out["slope"]
     pdq = out["pdq"]
-    rdq = out["rdq"]
     ser = out["slope_err_read"]
     sep = out["slope_err_poisson"]
 
