@@ -12,6 +12,23 @@ import re
 import yaml
 
 
+def resolve_backend(config, key, tpu_choice="pallas"):
+    """Resolve a ``*_BACKEND`` config key to a concrete backend name.
+
+    'auto' (the default) picks the fastest measured backend for the
+    platform: ``tpu_choice`` when the default JAX backend is TPU, 'xla'
+    otherwise (the Pallas CPU interpreter is orders of magnitude slower
+    than XLA:CPU, so auto never selects it off-TPU).  A/B measurements
+    behind each tpu_choice live in docs/performance.md.
+    """
+    v = str(config.get(key, "auto")).lower()
+    if v != "auto":
+        return v
+    import jax
+
+    return tpu_choice if jax.default_backend() == "tpu" else "xla"
+
+
 def load_config(path):
     with open(path) as f:
         return yaml.safe_load(f)

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import pars
-from ..config import load_config
+from ..config import load_config, resolve_backend
 from ..dqflags import group as gdq
 from ..dqflags import pixel
 from ..io import asdf_lite, calfiles, fits_lite
@@ -718,23 +718,31 @@ def prepare_inputs(l1, config, pack, area_factor=None):
         wfi18=wfi18,
         first_is_reset=(read_pattern[0] == [0]),
         has_ipc="ipc4d" in caldir,
-        # fused Pallas kernels (TPU only; the CPU interpreter is slow)
+        # fused Pallas kernels (TPU only; the CPU interpreter is slow).
+        # Every *_BACKEND key defaults to 'auto' = the fastest measured
+        # backend for the platform (Pallas on TPU, XLA elsewhere —
+        # A/B numbers in docs/performance.md).  Set 'xla' explicitly to
+        # avoid cold Mosaic compiles (minutes each on a remote-compile
+        # relay; seconds on a directly-attached TPU host).
         # IPC_BACKEND: 'xla', 'pallas' (blocked halo windows) or
         # 'pallas-stream' (single-read ring buffer, bit-identical)
-        ipc_pallas=(str(config.get("IPC_BACKEND", "xla")).lower()
+        ipc_pallas=(resolve_backend(config, "IPC_BACKEND", "pallas-stream")
                     in ("pallas", "pallas-stream")),
-        ipc_stream=(str(config.get("IPC_BACKEND", "xla")).lower()
+        ipc_stream=(resolve_backend(config, "IPC_BACKEND", "pallas-stream")
                     == "pallas-stream"),
-        lin_pallas=(str(config.get("LIN_BACKEND", "xla")).lower() == "pallas"),
-        med_pallas=(str(config.get("SKY_BACKEND", "xla")).lower() == "pallas"),
+        lin_pallas=(resolve_backend(config, "LIN_BACKEND") == "pallas"),
+        med_pallas=(resolve_backend(config, "SKY_BACKEND") == "pallas"),
         # read-axis resultant contraction: 'dot' (XLA dot_general) or
         # 'pallas' (ops.contract_pallas streaming kernel) — consumed by
-        # the sim accumulator and the noise 'P' resample
-        contract=str(config.get("CONTRACT_BACKEND", "dot")).lower(),
+        # the sim accumulator and the noise 'P' resample.  XLA's
+        # dot_general wins the A/B on TPU (16.6 vs 19.4 ms), so 'auto'
+        # resolves to 'dot' everywhere.
+        contract={"auto": "dot"}.get(
+            str(config.get("CONTRACT_BACKEND", "dot")).lower(),
+            str(config.get("CONTRACT_BACKEND", "dot")).lower()),
         # 1/f synthesis backend for the noise-engine fills (the
         # calibration core itself never draws pink noise)
-        pink_pallas=(str(config.get("PINK_BACKEND", "xla")).lower()
-                     == "pallas"),
+        pink_pallas=(resolve_backend(config, "PINK_BACKEND") == "pallas"),
         has_dark_dq=pack.dark_dq is not None,
         skyorder=int(config.get("SKYORDER", -1)),
     )

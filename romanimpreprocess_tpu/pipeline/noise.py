@@ -454,9 +454,9 @@ def _make_noise_cube_host(config, seed=None, *, pack=None, base_l1=None,
                 diff += _poisson_resample_layer(
                     jax.random.fold_in(lkey, 1), e_per_slice, gain_a,
                     read_pattern, weightvecs, endslice, ngrp,
-                    contract=str(
-                        config.get("CONTRACT_BACKEND", "dot")
-                    ).lower(),
+                    contract={"auto": "dot"}.get(
+                        str(config.get("CONTRACT_BACKEND", "dot")).lower(),
+                        str(config.get("CONTRACT_BACKEND", "dot")).lower()),
                 )
 
         if "S" in cmd:

@@ -187,7 +187,9 @@ def make_exposure_noise_core(prep, pack, layers, config=None, jit=True):
     if "CONTRACT_BACKEND" in config:
         # run-config override for preps built without the run config
         # (e.g. benchlib bundles)
-        cfg = dict(cfg, contract=str(config["CONTRACT_BACKEND"]).lower())
+        cfg = dict(cfg, contract={"auto": "dot"}.get(
+            str(config["CONTRACT_BACKEND"]).lower(),
+            str(config["CONTRACT_BACKEND"]).lower()))
     nside, nb, cw = geom
     na = nside - 2 * nb
     act = slice(nb, nside - nb)
@@ -337,7 +339,9 @@ def _staged_layer_machinery(prep, pack, config, mesh=None):
     if "CONTRACT_BACKEND" in config:
         # run-config override for preps built without the run config
         # (e.g. benchlib bundles)
-        cfg = dict(cfg, contract=str(config["CONTRACT_BACKEND"]).lower())
+        cfg = dict(cfg, contract={"auto": "dot"}.get(
+            str(config["CONTRACT_BACKEND"]).lower(),
+            str(config["CONTRACT_BACKEND"]).lower()))
     cache_key = (
         l1_to_l2.core_key(plan, cfg, geom),
         tuple(tuple(g) for g in prep["read_pattern"]),

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import pars
+from .. import config as cfgmod
 from ..config import load_config, reads_to_pattern
 from ..dqflags import group as gdq
 from ..io import asdf_lite, calfiles, fits_lite
@@ -651,9 +652,12 @@ class Image2D:
             k_l1, jnp.asarray(rate_e, jnp.float32), use_read_pattern, pack,
             frame_time=ft, crparam={}, persistence=persistence,
             ipc_pallas=(
-                str(config.get("IPC_BACKEND", "xla")).lower() == "pallas"
+                cfgmod.resolve_backend(config, "IPC_BACKEND")
+                in ("pallas", "pallas-stream")
             ),
-            contract=str(config.get("CONTRACT_BACKEND", "dot")).lower(),
+            contract={"auto": "dot"}.get(
+                str(config.get("CONTRACT_BACKEND", "dot")).lower(),
+                str(config.get("CONTRACT_BACKEND", "dot")).lower()),
         )
 
         no_amp33 = bool(caldir.get("NO_AMP33", False))
@@ -664,7 +668,7 @@ class Image2D:
             amp33=(np.zeros(1) if (pack.amp33_valid and not no_amp33) else None),
             nborder=nb,
             pink_pallas=(
-                str(config.get("PINK_BACKEND", "xla")).lower() == "pallas"
+                cfgmod.resolve_backend(config, "PINK_BACKEND") == "pallas"
             ),
         )
         im_u16 = np.asarray(im_u16)

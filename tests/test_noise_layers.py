@@ -71,3 +71,46 @@ def test_stage_timer_and_trace_api(tmp_path):
         pass
     assert "alpha" in t.summary()
     assert "[timing] alpha" in log.output
+
+
+def test_resolve_backend_auto_semantics():
+    """'auto' picks the platform's fastest measured backend: 'xla' on
+    CPU (the suite forces the CPU platform), the tpu_choice on TPU;
+    explicit values pass through case-normalized."""
+    from romanimpreprocess_tpu.config import resolve_backend
+
+    assert resolve_backend({}, "IPC_BACKEND", "pallas-stream") == "xla"
+    assert resolve_backend({"IPC_BACKEND": "auto"}, "IPC_BACKEND") == "xla"
+    assert resolve_backend({"IPC_BACKEND": "Pallas"}, "IPC_BACKEND") == "pallas"
+    assert resolve_backend(
+        {"IPC_BACKEND": "pallas-stream"}, "IPC_BACKEND") == "pallas-stream"
+
+
+def test_contract_backend_auto_normalizes_to_dot():
+    """CONTRACT_BACKEND: auto must reach the prepared cfg as 'dot' (XLA
+    dot_general wins the TPU A/B) — an unmapped 'auto' string would
+    behave like 'dot' in == comparisons but poison the core cache key
+    and the staged-machinery key."""
+    import os
+    import tempfile
+
+    from romanimpreprocess_tpu.io import calfiles
+
+    d = tempfile.mkdtemp()
+    caldir = make_cal_files(os.path.join(d, "cal"), READ_PATTERN,
+                            nside=N, seed=3)
+    scene = make_scene_file(os.path.join(d, "t_F184_1_1.fits"),
+                            nside_active=NA)
+    reads = []
+    for g in READ_PATTERN:
+        reads += [g[0], g[-1] + 1]
+    cfgd = {"IN": scene, "OUT": os.path.join(d, "L1.asdf"),
+            "READS": reads, "CALDIR": caldir, "SEED": 7,
+            "CONTRACT_BACKEND": "auto"}
+    sim_to_l1.run_config(cfgd)
+    config = {"IN": cfgd["OUT"], "OUT": os.path.join(d, "L2.asdf"),
+              "CALDIR": caldir, "SKYORDER": 0, "CONTRACT_BACKEND": "auto"}
+    pack = calfiles.load_caldir_cached(caldir)
+    l1 = asdf_lite.open(config["IN"])["roman"]
+    prep = l1_to_l2.prepare_inputs(l1, config, pack)
+    assert prep["cfg"]["contract"] == "dot"
