@@ -17,12 +17,16 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_bench_prints_exactly_one_json_line(tmp_path):
+    extras_path = str(tmp_path / "extras.json")
     env = dict(
         os.environ,
         PYTHONPATH="",  # drop the axon sitecustomize -> pure CPU backend
         JAX_PLATFORMS="cpu",
         ROMAN_BENCH_NSIDE="256",
         ROMAN_BENCH_EXPOSURE="0",  # headline only; extras have their own gates
+        # NEVER the repo's BENCH_EXTRAS.json: this test once deleted the
+        # committed 4096^2 measurement artifact in its cleanup
+        ROMAN_BENCH_EXTRAS_PATH=extras_path,
     )
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
@@ -38,9 +42,11 @@ def test_bench_prints_exactly_one_json_line(tmp_path):
         assert rec["vs_baseline"] > 0
         assert "256^2" in rec["metric"]
         assert rec["extra"]["samples_ms"]  # median-of-3 evidence
+        # the extras artifact landed at the redirected path, not the
+        # repo's committed measurement record
+        assert os.path.exists(extras_path)
+        assert not os.path.exists(
+            os.path.join(REPO, "BENCH_EXTRAS_smoke.json"))
     finally:
-        # bench writes its extras artifact next to the script
-        try:
-            os.remove(os.path.join(REPO, "BENCH_EXTRAS.json"))
-        except OSError:
-            pass
+        # the committed artifact must survive the test
+        assert os.path.exists(os.path.join(REPO, "BENCH_EXTRAS.json"))
