@@ -229,6 +229,24 @@ def core_bundle(nside=4096, read_pattern=None, seed=1000, frame_time=3.04,
     return arr, plan, cfg, (nside, nborder, cw)
 
 
+def consume_all(out):
+    """Full-frame f32 checksum over EVERY leaf of a timed program's
+    output.
+
+    Timing chains must fold this (not a single-pixel read) into the
+    chain key: consuming ``out["slope"][0, 0]`` inside the same jit
+    lets XLA dead-code-eliminate the error/variance maps, the DQ
+    reduction, and the sky diagnostics — the chain then times a
+    smaller program than the one it claims to (the Aug-19 honest-chain
+    correction, docs/performance.md).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    return sum(jnp.sum(v.astype(jnp.float32))
+               for v in jax.tree_util.tree_leaves(out))
+
+
 def timed_chain(step, n_lo=1, n_hi=3, repeats=2, seed=5, reduce=min):
     """Chain-differenced wall clock of ``step: key -> key`` seconds.
 

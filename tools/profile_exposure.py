@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from romanimpreprocess_tpu import benchlib
 from romanimpreprocess_tpu.galpoisson.pearson_jax import draw_from_pearson_jax
 from romanimpreprocess_tpu.ops import rand, sky
 from romanimpreprocess_tpu.pipeline.noise import resample_traced, weightvec_table
@@ -76,12 +77,12 @@ def main():
         gI = a["gain"] * a["withsky"]
         # realistic full-ramp weights -> dominant type-1 path
         d = draw_from_pearson_jax(k, 0.33, -0.21, 0.20, gI)
-        return d[0, 0]
+        return benchlib.consume_all(d)
 
     def st_p(k, a):
         e_exp = jnp.clip(a["withsky"] * a["gain"] * ft, 0.0, None)
         d = resample_traced(k, e_exp, a["gain"], a["es"], rp, wv, ngrp)
-        return d[0, 0]
+        return benchlib.consume_all(d)
 
     def st_zclip(k, a):
         x = a["diff"] + jax.random.uniform(k, (1, 1))
@@ -91,7 +92,7 @@ def main():
     def st_medfit(k, a):
         x = a["diff"] + jax.random.uniform(k, (1, 1))
         _, model = sky.medfit(x, order=2)
-        return model[0, 0]
+        return benchlib.consume_all(model)
 
     for name, f in [("o_layer(type1)", st_o), ("p_resample", st_p),
                     ("zclip_percentile", st_zclip), ("medfit", st_medfit)]:

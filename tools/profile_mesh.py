@@ -50,9 +50,14 @@ def time_core(run, batch, n_lo=1, n_hi=5, repeats=3):
     def chained(arrs, n):
         def body(carry, _):
             out = run(dict(arrs, data=carry))
-            bump = (out["slope"].reshape(-1)[:1].sum() * 0).astype(
-                carry.dtype)
-            return carry + bump, out["slope"].reshape(-1)[0]
+            # consume EVERY output at full frame — a slope-only read
+            # lets XLA dead-code-eliminate the err/var/dq maps and the
+            # sky diagnostics, silently timing a smaller program (the
+            # honest-chain correction, docs/performance.md)
+            cks = sum(jnp.sum(v.astype(jnp.float32))
+                      for v in jax.tree_util.tree_leaves(out))
+            bump = (cks * 0).astype(carry.dtype)
+            return carry + bump, cks
 
         _, ss = jax.lax.scan(body, arrs["data"], None, length=n)
         return ss

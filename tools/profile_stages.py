@@ -65,13 +65,13 @@ def main():
         rdq, pdq = saturation.flag_saturation(
             data, rdq0, pdq0, a["saturation"], a["saturation_dq"],
             backup=cfg["backup"], skip_first=1, n_pix_grow_sat=1)
-        return (rdq[-1, 0, 0] + pdq[0, 0]).astype(jnp.float32)
+        return benchlib.consume_all((rdq, pdq))
 
     def st_refpix(data, a):
         out = _refpix_correct(
             data, a["dark_cube"], a["amp33"], a["amp33_med"],
             a["opt_slope"], nside_, nb, chw, cfg["use_amp33"])
-        return out[0, 0, 0]
+        return benchlib.consume_all(out)
 
     def st_linearity(data, a):
         lin = linearity.LinearityData(
@@ -80,7 +80,7 @@ def main():
         out, dq = linearity.apply_linearity_cube(
             data, lin, do_not_flag_first=cfg["first_is_reset"],
             attempt_corr=jnp.ones(data.shape, bool))
-        return out[0, 0, 0] + dq[0, 0].astype(jnp.float32)
+        return benchlib.consume_all((out, dq))
 
     def st_ipc_pallas(data, a):
         gain_act = a["gain"][nb:-nb, nb:-nb]
@@ -89,7 +89,7 @@ def main():
             (a["dark_slope"][nb:-nb, nb:-nb] * gain_act)[None],
             (a["flat"][nb:-nb, nb:-nb] * gain_act)[None]])
         corr = ipc_pallas.ipc_rev2_cube_blocked(stacked, a["ipc_kernel"])
-        return corr[0, 0, 0]
+        return benchlib.consume_all(corr)
 
     def st_ipc_stream(data, a):
         gain_act = a["gain"][nb:-nb, nb:-nb]
@@ -99,7 +99,7 @@ def main():
             (a["flat"][nb:-nb, nb:-nb] * gain_act)[None]])
         corr = ipc_pallas.ipc_rev2_cube_stream(stacked, a["ipc_kernel"],
                                                th=32, vmem_mb=128)
-        return corr[0, 0, 0]
+        return benchlib.consume_all(corr)
 
     def st_ipc_xla(data, a):
         gain_act = a["gain"][nb:-nb, nb:-nb]
@@ -108,12 +108,12 @@ def main():
             (a["dark_slope"][nb:-nb, nb:-nb] * gain_act)[None],
             (a["flat"][nb:-nb, nb:-nb] * gain_act)[None]])
         corr = ipc.ipc_rev(stacked, a["ipc_kernel"])
-        return corr[0, 0, 0]
+        return benchlib.consume_all(corr)
 
     def st_ramp(data, a):
         slope, ser, sep, rdq, pdq = ramp.ramp_fit(
             data, rdq0, pdq0, plan, a["gain"], a["read_sigma"], nborder=nb)
-        return slope[0, 0] + ser[0, 0]
+        return benchlib.consume_all((slope, ser, sep, rdq, pdq))
 
     def st_sky(data, a):
         slope = data[0]
@@ -122,7 +122,7 @@ def main():
             sky.binkxk(jnp.where(~m, slope, jnp.nan), 4))
         skycoefs, skymodel = sky.medfit(
             slope[nb:-nb, nb:-nb], order=cfg["skyorder"])
-        return medsky + skymodel[0, 0]
+        return benchlib.consume_all((medsky, skycoefs, skymodel))
 
     for name, f in [
         ("saturation", st_saturation),
