@@ -80,7 +80,11 @@ def main():
     nside = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
     n_sca = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     arr, plan, cfg, geom = benchlib.core_bundle(nside=nside)
-    pallas = jax.default_backend() == "tpu"
+    # ROMAN_MESH_PALLAS=0 keeps the mesh programs XLA-only: the honest
+    # chains are new program shapes, and a cold VMAPPED Pallas compile
+    # on the remote-compile relay costs tens of minutes per leg
+    pallas = (jax.default_backend() == "tpu"
+              and os.environ.get("ROMAN_MESH_PALLAS", "1") != "0")
     cfg = dict(cfg, ipc_pallas=pallas, lin_pallas=pallas,
                med_pallas=pallas)
     if pallas:
