@@ -177,9 +177,20 @@ def medfit(arr, N=8, order=2, pallas=False):
     vv = jnp.linspace(-1.0, 1.0 - 2.0 / ny, ny)
     LPX = legendre_basis_1d(order, uu)  # (order+1, nx)
     LPY = legendre_basis_1d(order, vv)  # (order+1, ny)
-    model = jnp.zeros((ny, nx), dtype=arr.dtype)
+    # model = sum_k coef_k outer(LPY[j_k], LPX[i_k]) as ONE rank-(order+1)
+    # matmul chain: (ny, K) @ (K, K) @ (K, nx).  The term-by-term outer
+    # accumulation wrote the full frame once per term (6 HBM passes at
+    # order 2); this is a single MXU pass.  precision=highest: the
+    # default TPU f32 matmul rounds through bf16 (~4e-3 relative),
+    # which would swamp the fit itself.
+    cm = jnp.zeros((order + 1, order + 1), dtype=jnp.float32)
     for k, (i, j) in enumerate(terms):
-        model = model + coef[k] * jnp.outer(LPY[j], LPX[i]).astype(arr.dtype)
+        cm = cm.at[j, i].set(coef[k])
+    model = jax.numpy.einsum(
+        "jy,ji,ix->yx", LPY.astype(jnp.float32), cm,
+        LPX.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    ).astype(arr.dtype)
     return coef, model
 
 
