@@ -22,12 +22,13 @@ import numpy as np
 
 #: Bumped whenever the timed chain program changes (e.g. the honest
 #: all-outputs checksum added Aug 19; rev 3 = default core outputs
-#: trimmed to the product contract).  Stored in the Pallas prewarm
-#: marker: a marker written for a DIFFERENT program revision means the
-#: persistent compilation cache holds the OLD executables, so the
-#: "prewarmed" Pallas attempt would actually compile cold (4-30 min)
-#: and blow its budget.
-_BENCH_REV = 3
+#: trimmed to the product contract; rev 4 = medfit model via one
+#: einsum).  Stored in the Pallas prewarm marker: a marker written for
+#: a DIFFERENT program revision means the persistent compilation cache
+#: holds the OLD executables, so the "prewarmed" Pallas attempt would
+#: actually compile cold (4-30 min) and blow its budget.  ANY commit
+#: that changes the traced calibration core must bump this.
+_BENCH_REV = 4
 
 
 def _wait_for_backend():

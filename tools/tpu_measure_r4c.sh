@@ -28,6 +28,9 @@ if [ "$alive" != 1 ]; then
   echo "=== tpu never recovered; r4c skipped $(date -u +%H:%M:%S) ===" >> "$OUT"
   exit 1
 fi
+echo "--- bench force-pallas (rev-4 chain rewarm: medfit-einsum core) $(date -u +%H:%M:%S) ---" >> "$OUT"
+ROMAN_BENCH_PALLAS=force ROMAN_BENCH_PALLAS_BUDGET_S=3600 \
+  ROMAN_BENCH_BUDGET_S=1800 timeout 7000 python bench.py >> "$OUT" 2>&1
 echo "--- bench warm-marker (driver-equivalent; extras -> BENCH_EXTRAS.json) $(date -u +%H:%M:%S) ---" >> "$OUT"
 timeout 5000 python bench.py >> "$OUT" 2>&1
 echo "--- profile_mesh XLA honest (full-frame, 3 legs) $(date -u +%H:%M:%S) ---" >> "$OUT"
