@@ -348,3 +348,146 @@ def correct_cube_fused(data, kernel, gain=None, nborder=None, th=8,
     if nb == 0:
         return corr
     return data.at[:, nb : ny - nb, nb : ny - nb].set(corr)
+
+
+# --------------------------------------------------------------------------
+# Frame-resident streaming variant (opt-in: IPC_BACKEND 'pallas-frame')
+# --------------------------------------------------------------------------
+
+def kernel_planes_frame(kernel, nside, nborder=4):
+    """Host-side (9, nside, nside) kernel planes, border ZERO.
+
+    The zero border IS the zero-fill edge semantics of the reference
+    stencil (``utils/ipc_linearity.py:102-148``): any tap sourcing a
+    border pixel — including the lane-roll wrap-around at the frame
+    edge — multiplies a zero weight, so the frame kernel can read the
+    raw full-frame cube with no pad-embed/unpad passes.  Cached per cal
+    pack (id-keyed, same contract as :func:`kernel_planes_padded`).
+    """
+    na = kernel.shape[-1]
+    ck = (id(kernel), nside, nborder, "frame")
+    hit = _PAD_CACHE.get(ck)
+    if hit is not None:
+        return hit[0]
+    kp = np.zeros((9, nside, nside), np.float32)
+    kp[:, nborder : nborder + na, nborder : nborder + na] = np.asarray(
+        kernel, np.float32
+    ).reshape(9, na, na)
+    return _PAD_CACHE.put(ck, (kp, kernel))[0]
+
+
+def _ipc_kernel_frame(d_ref, k_ref, g_ref, out_ref, d_ring, k_ring,
+                      g_ring, *, th, nb, nside):
+    """Streaming order-2 inverse over the RAW full frame.
+
+    Step i loads frame tile i into a 3-slot ring; output tile i-1 is
+    computed once its bottom halo (tile i) has arrived.  Gain
+    conjugation (DN space) happens in VMEM: y = d * g on the slab,
+    result / g on the center tile.  Border rows/cols pass the input
+    through untouched (the reference applies IPC to the active region
+    only); the where() mask also discards the only outputs that can
+    touch the warm-up ring garbage or the clamped duplicate bottom
+    halo (all of them land in border rows — see the call site note).
+    """
+    i = pl.program_id(0)
+    slot = jax.lax.rem(i, 3)
+    d_ring[slot] = d_ref[...]
+    k_ring[slot] = k_ref[...]
+    g_ring[slot] = g_ref[...]
+
+    @pl.when(i >= 1)
+    def _():
+        s0 = jax.lax.rem(i + 1, 3)  # tile i-2 (top halo; garbage at i=1)
+        s1 = jax.lax.rem(i + 2, 3)  # tile i-1 (center = output tile)
+        d = jnp.concatenate([d_ring[s0], d_ring[s1], d_ring[slot]],
+                            axis=1)  # (G, 3th, W)
+        k = jnp.concatenate([k_ring[s0], k_ring[s1], k_ring[slot]],
+                            axis=1)  # (9, 3th, W)
+        g = jnp.concatenate([g_ring[s0], g_ring[s1], g_ring[slot]],
+                            axis=1)  # (1, 3th, W)
+        y2 = d[:, th - 2 : 2 * th + 2] * g[:, th - 2 : 2 * th + 2]
+        k2 = k[:, th - 2 : 2 * th + 2]
+        a = _apply_k_gslab(y2, k2, th + 2)
+        b = _apply_k_gslab(a, k2[:, 1 : th + 3], th)
+        res = 3.0 * y2[:, 2 : th + 2] - 3.0 * a[:, 1 : th + 1] + b
+        g_c = g_ring[s1][0]  # (th, W)
+        d_c = d_ring[s1]
+        row0 = (i - 1) * th
+        rows = row0 + jax.lax.broadcasted_iota(jnp.int32, (th, 1), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, nside), 1)
+        act = ((rows >= nb) & (rows < nside - nb)
+               & (cols >= nb) & (cols < nside - nb))  # (th, W)
+        out_ref[...] = jnp.where(act[None], res / g_c[None], d_c)
+
+
+@functools.partial(jax.jit, static_argnames=("th", "interpret", "vmem_mb",
+                                             "nborder"))
+def ipc_rev2_frame_stream(data, kernel, gain, nborder=4, th=32,
+                          interpret=False, vmem_mb=128):
+    """Order-2 IPC inverse on the raw full frame, border passthrough.
+
+    Equivalent to the chain glue around :func:`ipc_rev2_cube_stream`
+    (active slice * gain -> pad-embed -> kernel -> unpad -> / gain ->
+    merge into the frame) collapsed into ONE Pallas pass: reads the
+    (ngrp, nside, nside) cube, the (9, nside, nside) border-zeroed
+    kernel planes (:func:`kernel_planes_frame`) and the gain ONCE, and
+    writes the new full frame directly — no pad-embed, no unpad, no
+    border merge (~4 full-cube HBM passes saved per call at 4096^2).
+
+    Warm-up / clamped-halo safety: ring garbage (step 1's missing top
+    halo) and the duplicated bottom halo (clamped index map) only ever
+    reach output rows 0-1 and nside-2..nside-1 — inside the >= 4-row
+    border, where the where() mask selects the passthrough input.
+    Requires ``nside % th == 0`` and ``nborder >= 2``.
+    """
+    ngrp, nside, _ = data.shape
+    if nside % th != 0:
+        raise ValueError(f"nside {nside} not divisible by th {th}")
+    if nborder < 2:
+        raise ValueError("frame variant needs nborder >= 2")
+    n_tiles = nside // th
+    if kernel.ndim != 3 or kernel.shape != (9, nside, nside):
+        # raw (3, 3, na, na) kernel: embed inside the jit (slow path;
+        # production passes the cached kernel_planes_frame buffer)
+        na = kernel.shape[-1]
+        kp = jnp.zeros((9, nside, nside), jnp.float32)
+        kp = kp.at[:, nborder : nborder + na,
+                   nborder : nborder + na].set(kernel.reshape(9, na, na))
+        kernel = kp
+    data = data.astype(jnp.float32)
+    gain3 = gain.astype(jnp.float32)[None]  # (1, nside, nside)
+
+    clamp = n_tiles - 1
+    out = pl.pallas_call(
+        functools.partial(_ipc_kernel_frame, th=th, nb=nborder,
+                          nside=nside),
+        grid=(n_tiles + 1,),
+        in_specs=[
+            pl.BlockSpec((ngrp, th, nside),
+                         lambda i: (0, jnp.minimum(i, clamp), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, th, nside),
+                         lambda i: (0, jnp.minimum(i, clamp), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, th, nside),
+                         lambda i: (0, jnp.minimum(i, clamp), 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (ngrp, th, nside),
+            lambda i: (0, jnp.clip(i - 1, 0, clamp), 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((ngrp, nside, nside), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((3, ngrp, th, nside), jnp.float32),
+            pltpu.VMEM((3, 9, th, nside), jnp.float32),
+            pltpu.VMEM((3, 1, th, nside), jnp.float32),
+        ],
+        compiler_params=(
+            None if interpret
+            else pltpu.CompilerParams(vmem_limit_bytes=vmem_mb * 1024 * 1024)
+        ),
+        interpret=interpret,
+    )(data, kernel, gain3)
+    return out

@@ -235,7 +235,19 @@ def make_core(plan, cfg, geom):
         # whole campaign.
         dslope_ipc = None
         flat_ipc = None
-        if has_ipc:
+        if has_ipc and cfg.get("ipc_frame", False):
+            # frame-resident variant (IPC_BACKEND 'pallas-frame'): the
+            # active-slice/gain/pad/unpad/merge glue around the slab
+            # kernels (~4 full-cube HBM passes) collapsed into one pass
+            # with border passthrough — see ipc_rev2_frame_stream
+            data = ipc_pallas.ipc_rev2_frame_stream(
+                data,
+                arr.get("ipc_kernel_frame", arr.get("ipc_kernel")),
+                arr["gain"], nborder=nb, th=32, vmem_mb=128,
+            )
+            dslope_ipc = arr["dark_slope_ipc"]
+            flat_ipc = arr["flat_ipc"]
+        elif has_ipc:
             gain_act = arr["gain"][nb:-nb, nb:-nb]
             stacked = data[:, nb:-nb, nb:-nb] * gain_act[None]
             if cfg.get("ipc_pallas", False):
@@ -724,12 +736,15 @@ def prepare_inputs(l1, config, pack, area_factor=None):
         # A/B numbers in docs/performance.md).  Set 'xla' explicitly to
         # avoid cold Mosaic compiles (minutes each on a remote-compile
         # relay; seconds on a directly-attached TPU host).
-        # IPC_BACKEND: 'xla', 'pallas' (blocked halo windows) or
-        # 'pallas-stream' (single-read ring buffer, bit-identical)
+        # IPC_BACKEND: 'xla', 'pallas' (blocked halo windows),
+        # 'pallas-stream' (single-read ring buffer, bit-identical) or
+        # 'pallas-frame' (raw-frame single pass, no embed/unpad glue)
         ipc_pallas=(resolve_backend(config, "IPC_BACKEND", "pallas-stream")
                     in ("pallas", "pallas-stream")),
         ipc_stream=(resolve_backend(config, "IPC_BACKEND", "pallas-stream")
                     == "pallas-stream"),
+        ipc_frame=(resolve_backend(config, "IPC_BACKEND", "pallas-stream")
+                   == "pallas-frame"),
         lin_pallas=(resolve_backend(config, "LIN_BACKEND") == "pallas"),
         med_pallas=(resolve_backend(config, "SKY_BACKEND") == "pallas"),
         # read-axis resultant contraction: 'dot' (XLA dot_general) or
@@ -811,6 +826,10 @@ def prepare_inputs(l1, config, pack, area_factor=None):
         if cfg["ipc_pallas"]:
             arr["ipc_kernel_padded"] = ipc_pallas.kernel_planes_padded(
                 pack.ipc_kernel, th=32
+            )
+        if cfg["ipc_frame"]:
+            arr["ipc_kernel_frame"] = ipc_pallas.kernel_planes_frame(
+                pack.ipc_kernel, nside, nb
             )
 
     mylog.append("Saturation check complete\n")

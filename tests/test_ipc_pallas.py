@@ -197,3 +197,90 @@ def test_stream_gain_and_padded_kernel():
         ipc_pallas.ipc_rev2_cube_stream(cube, Kp, gain=g, th=8,
                                         interpret=True))
     np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("nside,th,nb", [(64, 8, 4), (96, 16, 4), (64, 16, 2)])
+def test_frame_stream_matches_chain_glue(nside, th, nb):
+    """ipc_rev2_frame_stream == the chain glue it replaces: active
+    slice * gain -> zero-fill order-2 inverse -> / gain -> merged back
+    into the frame with the border passed through untouched."""
+    G = 3
+    na = nside - 2 * nb
+    data = jnp.asarray(
+        rng.uniform(0, 1000, (G, nside, nside)).astype(np.float32))
+    K = rng.uniform(0, 0.02, (3, 3, na, na)).astype(np.float32)
+    K[1, 1] = 1 - K.sum(axis=(0, 1)) + K[1, 1]
+    K = jnp.asarray(K)
+    gain = jnp.asarray(
+        rng.uniform(1.4, 1.6, (nside, nside)).astype(np.float32))
+
+    gain_act = gain[nb:-nb, nb:-nb]
+    corr = ipc.ipc_rev(data[:, nb:-nb, nb:-nb] * gain_act[None], K,
+                       order=2)
+    want = np.asarray(
+        data.at[:, nb:-nb, nb:-nb].set(corr / gain_act[None]))
+
+    kf = ipc_pallas.kernel_planes_frame(np.asarray(K), nside, nb)
+    got = np.asarray(ipc_pallas.ipc_rev2_frame_stream(
+        data, jnp.asarray(kf), gain, nborder=nb, th=th, interpret=True))
+
+    # border passthrough is exact
+    border = np.ones((nside, nside), bool)
+    border[nb:-nb, nb:-nb] = False
+    np.testing.assert_array_equal(got[:, border], np.asarray(data)[:, border])
+    rel = (np.abs(got - want)[:, ~border].max()
+           / np.abs(want)[:, ~border].max())
+    assert rel < 1e-5
+
+
+def test_frame_stream_raw_kernel_embed_matches_prepped():
+    """The in-jit raw-kernel embed fallback equals the cached
+    kernel_planes_frame fast path."""
+    nside, nb, th = 64, 4, 8
+    G, na = 2, nside - 2 * nb
+    data = jnp.asarray(
+        rng.uniform(0, 1000, (G, nside, nside)).astype(np.float32))
+    K = rng.uniform(0, 0.02, (3, 3, na, na)).astype(np.float32)
+    K[1, 1] = 1 - K.sum(axis=(0, 1)) + K[1, 1]
+    gain = jnp.asarray(
+        rng.uniform(1.4, 1.6, (nside, nside)).astype(np.float32))
+    kf = ipc_pallas.kernel_planes_frame(K, nside, nb)
+    a = np.asarray(ipc_pallas.ipc_rev2_frame_stream(
+        data, jnp.asarray(kf), gain, nborder=nb, th=th, interpret=True))
+    b = np.asarray(ipc_pallas.ipc_rev2_frame_stream(
+        data, jnp.asarray(K), gain, nborder=nb, th=th, interpret=True))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_prepare_inputs_wires_frame_backend(tmp_path):
+    """IPC_BACKEND: pallas-frame sets the cfg flag and stages the
+    border-zeroed frame kernel planes (host prep only — the kernel
+    itself is TPU-gated and covered by the interpret-mode parity
+    tests above)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from romanimpreprocess_tpu.io import asdf_lite, calfiles
+    from romanimpreprocess_tpu.pipeline import l1_to_l2, sim_to_l1
+    from romanimpreprocess_tpu.synth import make_cal_files, make_scene_file
+
+    d = str(tmp_path)
+    rp = [[0], [1, 2], [3, 4, 5], [6, 7, 8], [9, 10]]
+    reads = []
+    for g in rp:
+        reads += [g[0], g[-1] + 1]
+    caldir = make_cal_files(d + "/cal", rp, nside=64, seed=3)
+    scene = make_scene_file(d + "/t_F184_1_1.fits", nside_active=56)
+    sim_to_l1.run_config({"IN": scene, "OUT": d + "/L1.asdf",
+                          "READS": reads, "CALDIR": caldir, "SEED": 9})
+    config = {"IN": d + "/L1.asdf", "OUT": d + "/L2.asdf",
+              "CALDIR": caldir, "SKYORDER": 0,
+              "IPC_BACKEND": "pallas-frame"}
+    pack = calfiles.load_caldir_cached(caldir)
+    l1 = asdf_lite.open(config["IN"])["roman"]
+    prep = l1_to_l2.prepare_inputs(l1, config, pack)
+    assert prep["cfg"]["ipc_frame"] is True
+    assert not prep["cfg"]["ipc_pallas"]
+    kf = np.asarray(prep["arr"]["ipc_kernel_frame"])
+    assert kf.shape == (9, 64, 64)
+    assert (kf[:, :4, :] == 0).all() and (kf[:, :, -4:] == 0).all()
