@@ -129,12 +129,12 @@ def main():
     pallas_mode = os.environ.get("ROMAN_BENCH_PALLAS", "1")
     if backend_ok and jax.default_backend() == "tpu" and pallas_mode != "0":
         if pallas_mode == "force" or _pallas_marker(nside) is not None:
-            # Warm-path floor (measured Aug 19, r4b batch): even with
-            # every executable in the local persistent cache the child
-            # pays backend init (~2 min on a cold relay) + bundle build
-            # + H2D over the HTTP relay + 2 executable loads — a 300 s
-            # budget killed a healthy warm run.  600 s covers the floor
-            # with margin while still bounding a cache-miss recompile.
+            # Warm-path floor (measured Aug 19, r4b/r4c batches): the
+            # child pays backend init + bundle (316 s rebuilt, ~23 s
+            # from the npz disk cache) + H2D over the HTTP relay
+            # (~47 s) + ONE full-core executable load (n_lo=0 chain is
+            # core-free).  600 s covers that floor with margin while
+            # still bounding a cache-miss recompile.
             budget = float(
                 os.environ.get("ROMAN_BENCH_PALLAS_BUDGET_S", "600"))
             pallas_ok = _extra_pallas(extras, nside, budget)
@@ -435,7 +435,8 @@ def _core_samples(jax, jnp, functools, benchlib, l1_to_l2, nside,
     On the axon relay backend ``block_until_ready`` does not
     synchronize remote execution, so each sample times a
     serially-dependent scan chain and differences two chain lengths
-    (overhead cancels exactly).
+    (dispatch/fetch overhead cancels; n_lo=0 is a core-free reference
+    chain so only ONE full-core executable exists per backend).
 
     ``pallas``: use the Pallas kernel backends (ipc/lin/med).  Default
     (None) enables them on TPU; the headline passes False explicitly —
@@ -456,6 +457,19 @@ def _core_samples(jax, jnp, functools, benchlib, l1_to_l2, nside,
 
     @functools.partial(jax.jit, static_argnums=1)
     def chained(arrs, n):
+        if n == 0:
+            # Trivial overhead-reference chain: dispatch + a full-frame
+            # data-cube checksum + fetch, but NO core call — so the
+            # compiled program contains no Pallas custom-calls and
+            # compiles/loads in seconds.  With n_lo=1 the budgeted
+            # Pallas subprocess had to compile-or-load TWO full-core
+            # executables through the relay; the second load was ~half
+            # of the >236 s that blew the 600 s warm budget (Aug 19).
+            # Cost: t_lo gains a ~0.5 ms cube-sum the differencing
+            # attributes across n_hi steps (~0.1 ms/step, ~0.2% of the
+            # headline — far below the relay's ±5% run-to-run scatter).
+            return jnp.sum(arrs["data"].astype(jnp.float32))[None]
+
         def body(carry, _):
             out = core(dict(arrs, data=carry))
             # consume EVERY output at full frame: a chain that reads
@@ -472,7 +486,7 @@ def _core_samples(jax, jnp, functools, benchlib, l1_to_l2, nside,
         _, ss = jax.lax.scan(body, arrs["data"], None, length=n)
         return ss
 
-    n_lo, n_hi = 1, 5
+    n_lo, n_hi = 0, 5
     jax.device_get(chained(arr, n_lo))  # compile both lengths
     mark("chain n_lo compiled")
     jax.device_get(chained(arr, n_hi))

@@ -6,12 +6,82 @@ plus a plausible L1 ramp cube, packaged as the array bundle the
 L1->L2 core consumes.
 """
 
+import os
+
 import numpy as np
 
 from .ops import ipc_pallas, ramp
 from .pipeline import l1_to_l2
 
 READ_PATTERN_DEFAULT = [[0], [1, 2], [3, 4, 5], [6, 7, 8, 9, 10], [11, 12], [13]]
+
+#: Bumped whenever the SYNTHESIZED ARRAYS change (not the plan/cfg —
+#: those are rebuilt on every call).  A stale disk-cached bundle would
+#: silently bench a different workload than the code synthesizes.
+_BUNDLE_REV = 1
+
+#: Below this, synthesis is sub-second and disk caching is pure
+#: overhead (tests run many small bundles).  Module-level so the cache
+#: machinery itself can be unit-tested at toy sizes.
+_BUNDLE_CACHE_MIN_NSIDE = 2048
+
+
+def _bundle_cache_path(nside, read_pattern, seed, frame_time, nborder):
+    """Disk-cache path for the ``core_bundle`` array dict, or None.
+
+    Building the 4096^2 bundle is ~80 s of host numpy on an idle VM and
+    316 s was measured inside bench.py's budgeted Pallas subprocess
+    (host contention + the jitted ``ipc_precal`` riding the TPU relay)
+    — which single-handedly blew the 600 s warm-attempt budget on
+    Aug 19.  A ~3.3 GB uncompressed npz loads back in ~23 s,
+    bit-exactly (verified), so every bench/profiler process after the
+    first gets the bundle for the price of a disk read.
+    """
+    if os.environ.get("ROMAN_BENCH_BUNDLE_CACHE", "1") == "0":
+        return None
+    if nside < _BUNDLE_CACHE_MIN_NSIDE:
+        return None  # small test bundles build in <1 s; not worth disk
+    import hashlib
+    import json
+
+    key = json.dumps([nside, [list(g) for g in read_pattern], seed,
+                      frame_time, nborder, _BUNDLE_REV])
+    h = hashlib.sha1(key.encode()).hexdigest()[:12]
+    d = os.environ.get("ROMAN_BUNDLE_CACHE_DIR") or os.path.join(
+        os.path.expanduser("~"), ".cache", "romanimpreprocess_tpu",
+        "bundles")
+    try:
+        os.makedirs(d, exist_ok=True)
+    except OSError:
+        return None
+    return os.path.join(d, f"core_{nside}_{h}.npz")
+
+
+def _bundle_cache_load(path):
+    if path is None or not os.path.exists(path):
+        return None
+    try:
+        with np.load(path) as z:
+            return {k: z[k] for k in z.files}
+    except Exception:  # corrupt/truncated cache: rebuild
+        return None
+
+
+def _bundle_cache_save(path, arr):
+    if path is None:
+        return
+    # must end in .npz: np.savez silently APPENDS the suffix otherwise,
+    # and os.replace then misses the real file (the save silently
+    # no-opped and left 3.3 GB orphans until this suffix was added)
+    tmp = f"{path}.{os.getpid()}.tmp.npz"
+    try:  # atomic: a killed bench subprocess must not leave a torn npz
+        np.savez(tmp, **arr)
+        os.replace(tmp, path)
+    except OSError:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
 
 
 def synth_cal_arrays(nside, read_pattern, seed=1000, frame_time=3.04,
@@ -166,11 +236,8 @@ def core_bundle(nside=4096, read_pattern=None, seed=1000, frame_time=3.04,
     path, ``gen_cal_image.py:415-445``).
     """
     read_pattern = read_pattern or READ_PATTERN_DEFAULT
-    cal = synth_cal_arrays(nside, read_pattern, seed, frame_time, nborder)
     ngrp = len(read_pattern)
-    cw = cal["channelwidth"]
-    data = synth_l1_cube(cal, read_pattern, seed + 1)
-
+    cw = max(nside // 32, 4)  # synth_cal_arrays' default channelwidth
     meta = ramp.ma_table_meta(read_pattern, frame_time)
     if likelihood:
         from .ops import likely
@@ -193,39 +260,48 @@ def core_bundle(nside=4096, read_pattern=None, seed=1000, frame_time=3.04,
         skyorder=skyorder,
     )
     nb = nborder
-    arr = {
-        "opt_slope": np.float32(0.5),
-        "data": data,
-        "amp33": np.full((ngrp, nside, cw), 29000.0, np.float32),
-        "amp33_med": cal["amp33_med"],
-        "dark_cube": cal["dark_cube"],
-        "dark_slope": cal["dark_slope"],
-        "dark_dq": np.zeros((nside, nside), np.uint32),
-        "gain": cal["gain"],
-        "read_sigma": cal["read_sigma"],
-        "mask_dq": cal["mask_dq"],
-        "saturation": cal["saturation"],
-        "saturation_dq": cal["saturation_dq"],
-        "biascorr": np.zeros((ngrp, nside - 2 * nb, nside - 2 * nb), np.float32),
-        "lin_coefs": cal["lin_coefs"],
-        "lin_smin": cal["lin_smin"],
-        "lin_smax": cal["lin_smax"],
-        "lin_sref": cal["lin_sref"],
-        "lin_dq": cal["lin_dq"],
-        "ipc_kernel": cal["ipc_kernel"],
-        "flat": cal["flat"],
-        "area_factor": np.ones((nside, nside), np.float32),
-        "dark_decay_signal": np.zeros(ngrp, np.float32),
-    }
-    arr["dark_slope_ipc"], arr["flat_ipc"] = l1_to_l2.ipc_precal(
-        cal["flat"], cal["dark_slope"], cal["gain"], cal["ipc_kernel"],
-        nborder,
-    )
-    # pre-padded kernel slab for callers that flip ipc_pallas=True
-    # (bench.py, profile tools); unread on the XLA path
-    arr["ipc_kernel_padded"] = ipc_pallas.kernel_planes_padded(
-        cal["ipc_kernel"], th=32
-    )
+    cache_path = _bundle_cache_path(nside, read_pattern, seed, frame_time,
+                                    nborder)
+    arr = _bundle_cache_load(cache_path)
+    if arr is None:
+        cal = synth_cal_arrays(nside, read_pattern, seed, frame_time,
+                               nborder)
+        data = synth_l1_cube(cal, read_pattern, seed + 1)
+        arr = {
+            "opt_slope": np.float32(0.5),
+            "data": data,
+            "amp33": np.full((ngrp, nside, cw), 29000.0, np.float32),
+            "amp33_med": cal["amp33_med"],
+            "dark_cube": cal["dark_cube"],
+            "dark_slope": cal["dark_slope"],
+            "dark_dq": np.zeros((nside, nside), np.uint32),
+            "gain": cal["gain"],
+            "read_sigma": cal["read_sigma"],
+            "mask_dq": cal["mask_dq"],
+            "saturation": cal["saturation"],
+            "saturation_dq": cal["saturation_dq"],
+            "biascorr": np.zeros((ngrp, nside - 2 * nb, nside - 2 * nb),
+                                 np.float32),
+            "lin_coefs": cal["lin_coefs"],
+            "lin_smin": cal["lin_smin"],
+            "lin_smax": cal["lin_smax"],
+            "lin_sref": cal["lin_sref"],
+            "lin_dq": cal["lin_dq"],
+            "ipc_kernel": cal["ipc_kernel"],
+            "flat": cal["flat"],
+            "area_factor": np.ones((nside, nside), np.float32),
+            "dark_decay_signal": np.zeros(ngrp, np.float32),
+        }
+        arr["dark_slope_ipc"], arr["flat_ipc"] = l1_to_l2.ipc_precal(
+            cal["flat"], cal["dark_slope"], cal["gain"], cal["ipc_kernel"],
+            nborder,
+        )
+        # pre-padded kernel slab for callers that flip ipc_pallas=True
+        # (bench.py, profile tools); unread on the XLA path
+        arr["ipc_kernel_padded"] = ipc_pallas.kernel_planes_padded(
+            cal["ipc_kernel"], th=32
+        )
+        _bundle_cache_save(cache_path, arr)
     return arr, plan, cfg, (nside, nborder, cw)
 
 

@@ -50,3 +50,46 @@ def test_bench_prints_exactly_one_json_line(tmp_path):
     finally:
         # the committed artifact must survive the test
         assert os.path.exists(os.path.join(REPO, "BENCH_EXTRAS.json"))
+
+
+def test_bundle_cache_roundtrip(tmp_path, monkeypatch):
+    """The core_bundle disk cache returns bit-identical arrays, keys by
+    seed, and rebuilds through a corrupt entry (a killed bench child
+    must never poison later runs)."""
+    import numpy as np
+
+    from romanimpreprocess_tpu import benchlib
+
+    monkeypatch.setenv("ROMAN_BUNDLE_CACHE_DIR", str(tmp_path))
+    monkeypatch.setattr(benchlib, "_BUNDLE_CACHE_MIN_NSIDE", 64)
+    arr1, plan1, cfg1, geom1 = benchlib.core_bundle(nside=64)
+    # the save must land at the EXACT load path with no tmp orphans (an
+    # earlier version np.savez'd to tmp+'.npz' and os.replace missed it
+    # — every "hit" was silently a rebuild and a glob-based check here
+    # matched the orphan, hiding the bug)
+    path = benchlib._bundle_cache_path(
+        64, benchlib.READ_PATTERN_DEFAULT, 1000, 3.04, 4)
+    assert os.path.exists(path)
+    assert [p.name for p in tmp_path.iterdir()] == [os.path.basename(path)]
+    arr2, plan2, cfg2, geom2 = benchlib.core_bundle(nside=64)
+    assert set(arr1) == set(arr2)
+    for k in arr1:
+        assert np.array_equal(np.asarray(arr1[k]), np.asarray(arr2[k])), k
+    assert cfg1 == cfg2 and geom1 == geom2
+    # prove the hit is SERVED from disk: poke the cached file and see
+    # the poke come back
+    poked = dict(np.load(path))
+    poked["opt_slope"] = np.float32(0.125)
+    np.savez(path, **poked)
+    assert float(benchlib.core_bundle(nside=64)[0]["opt_slope"]) == 0.125
+    # a different seed must miss (distinct cache entry, distinct data)
+    arr3 = benchlib.core_bundle(nside=64, seed=2000)[0]
+    assert not np.array_equal(np.asarray(arr1["data"]),
+                              np.asarray(arr3["data"]))
+    assert len(list(tmp_path.iterdir())) == 2
+    # corrupt entry: silently rebuilt (original content), then re-saved
+    with open(path, "wb") as f:
+        f.write(b"not an npz")
+    arr4 = benchlib.core_bundle(nside=64)[0]
+    for k in arr1:
+        assert np.array_equal(np.asarray(arr1[k]), np.asarray(arr4[k])), k
