@@ -23,12 +23,13 @@ import numpy as np
 #: Bumped whenever the timed chain program changes (e.g. the honest
 #: all-outputs checksum added Aug 19; rev 3 = default core outputs
 #: trimmed to the product contract; rev 4 = medfit model via one
-#: einsum).  Stored in the Pallas prewarm marker: a marker written for
+#: einsum; rev 5 = frame-resident IPC kernel + core-free n_lo=0
+#: chain).  Stored in the Pallas prewarm marker: a marker written for
 #: a DIFFERENT program revision means the persistent compilation cache
 #: holds the OLD executables, so the "prewarmed" Pallas attempt would
 #: actually compile cold (4-30 min) and blow its budget.  ANY commit
 #: that changes the traced calibration core must bump this.
-_BENCH_REV = 4
+_BENCH_REV = 5
 
 
 def _wait_for_backend():
@@ -448,9 +449,16 @@ def _core_samples(jax, jnp, functools, benchlib, l1_to_l2, nside,
     mark("bundle built")
     if pallas is None:
         pallas = jax.default_backend() == "tpu"
-    cfg = dict(cfg, ipc_pallas=pallas, lin_pallas=pallas, med_pallas=pallas)
-    if pallas:
-        del arr["ipc_kernel"]  # the Pallas core consumes the padded slab only
+    # IPC rides the frame-resident kernel (honest standalone 6.67 ms vs
+    # 13.88 blocked slab / 8.58 stream / 41.58 XLA, r4c batch Aug 19) —
+    # matching the production IPC_BACKEND 'auto' resolution
+    cfg = dict(cfg, ipc_pallas=False, ipc_stream=False, ipc_frame=pallas,
+               lin_pallas=pallas, med_pallas=pallas)
+    # stage only the kernel form this backend reads (the unused forms
+    # are ~0.9 GB of dead H2D + HBM at 4096^2)
+    for k in (("ipc_kernel", "ipc_kernel_padded") if pallas
+              else ("ipc_kernel_frame", "ipc_kernel_padded")):
+        arr.pop(k, None)
     core = l1_to_l2.make_core(plan, cfg, geom)
     arr = {k: jax.device_put(jnp.asarray(v)) for k, v in arr.items()}
     mark("arrays on device")
@@ -515,9 +523,14 @@ def _bench_exposure(jax, jnp, functools, benchlib, nside,
     arr, prep, pack = benchlib.exposure_bundle(nside=nside)
     if pallas is None:
         pallas = jax.default_backend() == "tpu"
+    # ipc_frame wins inside the CAL core (frame-resident kernel);
+    # ipc_pallas stays on because the SIM core's IL forward model
+    # reads it (noise_core machinery passes cfg["ipc_pallas"] to
+    # _l1_core_factory) and consumes the padded slab
     prep = dict(
         prep,
-        cfg=dict(prep["cfg"], ipc_pallas=pallas, lin_pallas=pallas,
+        cfg=dict(prep["cfg"], ipc_pallas=pallas, ipc_stream=False,
+                 ipc_frame=pallas, lin_pallas=pallas,
                  med_pallas=pallas, pink_pallas=pallas),
     )
     # staged runner: the calibration core compiles ONCE and is
@@ -529,10 +542,12 @@ def _bench_exposure(jax, jnp, functools, benchlib, nside,
     # don't stage arrays the traced cores never read: the "data"
     # placeholder (the synthesized L1 replaces it), the zero
     # biascorr/dark_dq (cfg has_biascorr/has_dark_dq are False), and
-    # the raw IPC kernel (every Pallas stage consumes the pre-padded
-    # slab) — ~1.2 GB of HBM at 4096^2
+    # the kernel forms this backend doesn't read — ~1.8 GB of HBM at
+    # 4096^2.  The Pallas cal path consumes only the frame planes; the
+    # sim-side IL forward model keeps the padded slab in both modes.
     drop = ("data", "biascorr", "dark_dq") + (
-        ("ipc_kernel",) if pallas else ())
+        ("ipc_kernel",) if pallas
+        else ("ipc_kernel_frame", "ipc_kernel_padded"))
     arr = {k: v for k, v in arr.items() if k not in drop}
     arrs = {k: jax.device_put(jnp.asarray(v)) for k, v in arr.items()}
     fold = jax.jit(

@@ -18,7 +18,9 @@ READ_PATTERN_DEFAULT = [[0], [1, 2], [3, 4, 5], [6, 7, 8, 9, 10], [11, 12], [13]
 #: Bumped whenever the SYNTHESIZED ARRAYS change (not the plan/cfg —
 #: those are rebuilt on every call).  A stale disk-cached bundle would
 #: silently bench a different workload than the code synthesizes.
-_BUNDLE_REV = 1
+#: rev 2: + ipc_kernel_frame (border-zeroed full-frame planes for the
+#: IPC_BACKEND 'pallas-frame' default).
+_BUNDLE_REV = 2
 
 #: Below this, synthesis is sub-second and disk caching is pure
 #: overhead (tests run many small bundles).  Module-level so the cache
@@ -300,6 +302,12 @@ def core_bundle(nside=4096, read_pattern=None, seed=1000, frame_time=3.04,
         # (bench.py, profile tools); unread on the XLA path
         arr["ipc_kernel_padded"] = ipc_pallas.kernel_planes_padded(
             cal["ipc_kernel"], th=32
+        )
+        # border-zeroed full-frame planes for the 'pallas-frame'
+        # default (callers drop whichever kernel forms they don't use
+        # before device_put)
+        arr["ipc_kernel_frame"] = ipc_pallas.kernel_planes_frame(
+            cal["ipc_kernel"], nside, nb
         )
         _bundle_cache_save(cache_path, arr)
     return arr, plan, cfg, (nside, nborder, cw)

@@ -737,13 +737,16 @@ def prepare_inputs(l1, config, pack, area_factor=None):
         # avoid cold Mosaic compiles (minutes each on a remote-compile
         # relay; seconds on a directly-attached TPU host).
         # IPC_BACKEND: 'xla', 'pallas' (blocked halo windows),
-        # 'pallas-stream' (single-read ring buffer, bit-identical) or
-        # 'pallas-frame' (raw-frame single pass, no embed/unpad glue)
-        ipc_pallas=(resolve_backend(config, "IPC_BACKEND", "pallas-stream")
+        # 'pallas-stream' (single-read ring buffer, bit-identical to
+        # 'pallas') or 'pallas-frame' (raw-frame single pass, no
+        # embed/unpad glue).  auto resolves to pallas-frame: honest
+        # standalone stage at 4096^2x6 on v5e (r4c batch, Aug 19) —
+        # frame 6.67 ms, stream 8.58, blocked slab 13.88, XLA 41.58.
+        ipc_pallas=(resolve_backend(config, "IPC_BACKEND", "pallas-frame")
                     in ("pallas", "pallas-stream")),
-        ipc_stream=(resolve_backend(config, "IPC_BACKEND", "pallas-stream")
+        ipc_stream=(resolve_backend(config, "IPC_BACKEND", "pallas-frame")
                     == "pallas-stream"),
-        ipc_frame=(resolve_backend(config, "IPC_BACKEND", "pallas-stream")
+        ipc_frame=(resolve_backend(config, "IPC_BACKEND", "pallas-frame")
                    == "pallas-frame"),
         lin_pallas=(resolve_backend(config, "LIN_BACKEND") == "pallas"),
         med_pallas=(resolve_backend(config, "SKY_BACKEND") == "pallas"),

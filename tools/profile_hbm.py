@@ -34,10 +34,11 @@ from romanimpreprocess_tpu.pipeline import l1_to_l2
 def build_core(nside):
     arr, plan, cfg, geom = benchlib.core_bundle(nside=nside)
     pallas = jax.default_backend() == "tpu"
-    cfg = dict(cfg, ipc_pallas=pallas, lin_pallas=pallas,
-               med_pallas=pallas)
-    if pallas:
-        del arr["ipc_kernel"]
+    cfg = dict(cfg, ipc_pallas=False, ipc_stream=False, ipc_frame=pallas,
+               lin_pallas=pallas, med_pallas=pallas)
+    for k in (("ipc_kernel", "ipc_kernel_padded") if pallas
+              else ("ipc_kernel_frame", "ipc_kernel_padded")):
+        arr.pop(k, None)
     core = l1_to_l2.make_core(plan, cfg, geom)
     arrs = {k: jax.device_put(jnp.asarray(v)) for k, v in arr.items()}
 

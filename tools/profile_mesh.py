@@ -85,10 +85,11 @@ def main():
     # on the remote-compile relay costs tens of minutes per leg
     pallas = (jax.default_backend() == "tpu"
               and os.environ.get("ROMAN_MESH_PALLAS", "1") != "0")
-    cfg = dict(cfg, ipc_pallas=pallas, lin_pallas=pallas,
-               med_pallas=pallas)
-    if pallas:
-        del arr["ipc_kernel"]  # Pallas cores consume the padded slab
+    cfg = dict(cfg, ipc_pallas=False, ipc_stream=False, ipc_frame=pallas,
+               lin_pallas=pallas, med_pallas=pallas)
+    for k in (("ipc_kernel", "ipc_kernel_padded") if pallas
+              else ("ipc_kernel_frame", "ipc_kernel_padded")):
+        arr.pop(k, None)  # stage only the kernel form this backend reads
 
     ndev = len(jax.devices())
 

@@ -31,9 +31,13 @@ LAYERS = ["Rz4S2", "O", "PbrS2"]
 def build(nside):
     arr, prep, pack = benchlib.exposure_bundle(nside=nside)
     pallas = jax.default_backend() != "cpu"  # CPU = harness smoke only
+    # ipc_frame: production 'auto' for the CAL cores; ipc_pallas stays
+    # on for the SIM core's IL forward model (padded slab) — matching
+    # bench._bench_exposure
     prep = dict(
         prep,
-        cfg=dict(prep["cfg"], ipc_pallas=pallas, lin_pallas=pallas,
+        cfg=dict(prep["cfg"], ipc_pallas=pallas, ipc_stream=False,
+                 ipc_frame=pallas, lin_pallas=pallas,
                  med_pallas=pallas, pink_pallas=pallas),
     )
     m = noise_core._staged_layer_machinery(prep, pack, None)

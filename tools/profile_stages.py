@@ -207,10 +207,9 @@ def main_ablate():
 
     nside = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
     arr, plan, cfg, geom = benchlib.core_bundle(nside=nside)
-    cfg = dict(cfg, ipc_pallas=True)
-    # production residency: the Pallas core consumes only the pre-padded
-    # slab — stage it and drop the unread raw kernel (~0.6 GB at 4096^2)
-    # so the marginal numbers attribute the same program bench.py times
+    # production 'auto' baseline: frame-resident IPC (see l1_to_l2's
+    # IPC_BACKEND note); the slab/stream variants below measure back
+    cfg = dict(cfg, ipc_frame=True)
     from romanimpreprocess_tpu.ops import ipc_pallas as _ipcp
 
     arr["ipc_kernel_padded"] = _ipcp.kernel_planes_padded(
@@ -250,13 +249,14 @@ def main_ablate():
     out = {"full": round(base * 1e3, 2)}
     variants = [
         ("saturation",), ("refpix",), ("linearity",), ("ipc",), ("sky",),
-        ("smooth",), ("medfit",), ("lin_pallas",), ("ipc_stream",),
-        ("med_pallas",), ("ipc_frame",),
+        ("smooth",), ("medfit",), ("lin_pallas",), ("ipc_slab",),
+        ("ipc_stream",), ("med_pallas",),
     ]
     swap = {("lin_pallas",): dict(lin_pallas=True),
-            ("ipc_stream",): dict(ipc_stream=True),
-            ("med_pallas",): dict(med_pallas=True),
-            ("ipc_frame",): dict(ipc_frame=True)}
+            ("ipc_slab",): dict(ipc_frame=False, ipc_pallas=True),
+            ("ipc_stream",): dict(ipc_frame=False, ipc_pallas=True,
+                                  ipc_stream=True),
+            ("med_pallas",): dict(med_pallas=True)}
     for v in variants:
         if v in swap:
             c = dict(cfg, **swap[v])
