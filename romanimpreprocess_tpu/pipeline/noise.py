@@ -114,29 +114,47 @@ def resample_traced(key, e_exp, gain_d, endslice_d, read_pattern,
     M_d = jnp.asarray(M, jnp.float32)
     Msum = jnp.asarray(M.sum(axis=1), jnp.float32)
 
-    # one (nreads, n, n) draw + one MXU contraction — a single
-    # rand.poisson call shares the pmf/PTRS constants across all reads
-    # (per-chunk calls recompute them and measured 2x slower; see
-    # sim_to_l1._accumulate_resultants)
+    # one (nreads, n, n) draw — a single rand.poisson call shares the
+    # pmf/PTRS constants across all reads (per-chunk calls recompute
+    # them and measured 2x slower; see sim_to_l1._accumulate_resultants)
     incs = rand.poisson(key, e_exp, shape=(nreads, n, n))
     if contract == "pallas":
         from ..ops import contract_pallas
 
         contrib = contract_pallas.contract_reads(M_d, incs)
-    else:
-        contrib = jnp.einsum(
-            "er,ryx->eyx", M_d, incs, preferred_element_type=jnp.float32
-        )
-    # per-pixel selection by endslice (select-chain, no gather)
+        # per-pixel selection by endslice (select-chain, no gather)
+        out = jnp.zeros((n, n), jnp.float32)
+        for es in range(ngrp):
+            if weightvecs[es] is None:
+                continue
+            out = out + jnp.where(
+                endslice_d == es,
+                (contrib[es] - Msum[es] * e_exp) / gain_d, 0.0,
+            )
+        return out
+    # Per-pixel endslice selection folded INTO the read accumulation:
+    # out(p) = sum_r M[es(p), r] * X_r(p).  Only ONE of the ngrp
+    # contraction outputs survives per pixel, so materializing the
+    # (ngrp, n, n) contrib (an M=6, K=14 "matmul" XLA runs far off the
+    # bandwidth floor: acc_dot 16.6 ms vs a ~2 ms traffic floor at
+    # 4096^2 on v5e) and then select-chaining it is dead work.  The
+    # per-read weight is a static-scalar select-chain on the endslice
+    # map; the whole expression is one fused elementwise pass that
+    # reads each Poisson frame exactly once.
+    masks = [(es, endslice_d == es) for es in range(ngrp)
+             if weightvecs[es] is not None]
+    M_np = np.asarray(M, np.float32)
+    Msum_np = np.asarray(M.sum(axis=1), np.float32)
+    wsum_p = jnp.zeros((n, n), jnp.float32)
+    for es, mk in masks:
+        wsum_p = wsum_p + jnp.where(mk, Msum_np[es], 0.0)
     out = jnp.zeros((n, n), jnp.float32)
-    for es in range(ngrp):
-        if weightvecs[es] is None:
-            continue
-        out = out + jnp.where(
-            endslice_d == es, (contrib[es] - Msum[es] * e_exp) / gain_d,
-            0.0,
-        )
-    return out
+    for r in range(nreads):
+        w_r = jnp.zeros((n, n), jnp.float32)
+        for es, mk in masks:
+            w_r = w_r + jnp.where(mk, M_np[es, r], 0.0)
+        out = out + w_r * incs[r]
+    return (out - wsum_p * e_exp) / gain_d
 
 
 _RESAMPLE_CACHE = {}

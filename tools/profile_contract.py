@@ -6,6 +6,10 @@ pattern's cumulative-membership matrix):
 - ``poisson``     — the bulk per-read draw alone (baseline to subtract)
 - ``acc_dot``     — draw + XLA dot_general contraction (current sim path)
 - ``acc_pallas``  — draw + ops.contract_pallas.contract_reads
+- ``acc_fused``   — draw + the noise 'P' layer's fused form: per-pixel
+  endslice selection folded into the read accumulation (one elementwise
+  pass, no (ngrp, n, n) contrib materialized) — pipeline.noise
+  ``resample_traced``'s default path
 
 Usage: python tools/profile_contract.py [nside]
 """
@@ -67,11 +71,31 @@ def main():
                              preferred_element_type=jnp.float32)
         return cksum(key, res)
 
+    # the 'P' layer's per-pixel form: a synthetic endslice map selects
+    # ONE contraction row per pixel, folded into the accumulation
+    T_np = np.asarray(T, np.float32)
+
+    @jax.jit
+    def acc_fused(key, rate, esmap):
+        incs = rand.poisson(jax.random.fold_in(key, 0), rate,
+                            shape=(nreads, na, na))
+        masks = [esmap == j for j in range(ngrp)]
+        out = jnp.zeros((na, na), jnp.float32)
+        for r in range(nreads):
+            w_r = jnp.zeros((na, na), jnp.float32)
+            for j, mk in enumerate(masks):
+                w_r = w_r + jnp.where(mk, float(T_np[j, r]), 0.0)
+            out = out + w_r * incs[r]
+        return cksum(key, out)
+
+    esmap = jax.device_put(
+        (jnp.arange(na)[:, None] + jnp.arange(na)[None]) % ngrp)
     stages = {
         "poisson": functools.partial(poisson, rate=rate),
         "acc_dot": functools.partial(acc, rate=rate, T_d=T_d, mode="dot"),
         "acc_pallas": functools.partial(acc, rate=rate, T_d=T_d,
                                         mode="pallas"),
+        "acc_fused": functools.partial(acc_fused, rate=rate, esmap=esmap),
     }
     out = {}
     for name, fn in stages.items():
