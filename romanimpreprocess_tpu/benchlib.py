@@ -331,6 +331,72 @@ def consume_all(out):
                for v in jax.tree_util.tree_leaves(out))
 
 
+def key_advance(key, cks):
+    """``advance`` for :func:`scan_chain` when the chain carry is a
+    PRNG key: folds the (zeroed) checksum in so the next iteration is
+    data-dependent on the previous one's complete output."""
+    import jax
+    import jax.numpy as jnp
+
+    return jax.random.fold_in(key, (cks * 0).astype(jnp.int32) + 1)
+
+
+def scan_chain(fn, args, carry0, n_lo=1, n_hi=5, repeats=1, advance=None):
+    """Chain-differenced seconds/iteration of ``fn(carry, args)``.
+
+    The shared jitted-scan timing harness (bench.py's sim chain,
+    tools/profile_sim.py, tools/profile_stages.py).  ``fn`` must return
+    its COMPLETE output pytree; the harness — not the call site — folds
+    a full-frame checksum over every leaf (:func:`consume_all`) into
+    the chain carry, so no timed program can be dead-code-eliminated
+    below the outputs ``fn`` claims to produce.  This makes the Aug-19
+    honest-chain rule structural: a call site physically cannot consume
+    less than everything (returning a sliced pixel times a sliced
+    program — the bug class that inflated the pre-correction headline
+    2x, docs/performance.md).
+
+    ``args`` is passed as a jit ARGUMENT (closing over full-frame
+    arrays blows the axon remote-compile payload limit).  ``advance``
+    maps ``(carry, cks) -> carry'`` and must be data-dependent on
+    ``cks``; the default adds the zeroed checksum into an array carry,
+    :func:`key_advance` handles PRNG-key carries.  Each timing sample
+    differences an ``n_hi``- against an ``n_lo``-length chain
+    (dispatch/fetch overhead cancels; ``block_until_ready`` does not
+    synchronize on the axon relay).  Returns the list of ``repeats``
+    per-iteration samples in seconds.
+    """
+    import functools
+    import time
+
+    import jax
+
+    if advance is None:
+        def advance(c, cks):
+            return c + (cks * 0).astype(c.dtype)
+
+    @functools.partial(jax.jit, static_argnums=2)
+    def chained(carry, a, n):
+        def body(c, _):
+            cks = consume_all(fn(c, a))
+            return advance(c, cks), cks
+
+        _, ss = jax.lax.scan(body, carry, None, length=n)
+        return ss
+
+    jax.device_get(chained(carry0, args, n_lo))  # compile both lengths
+    jax.device_get(chained(carry0, args, n_hi))
+    samples = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.device_get(chained(carry0, args, n_lo))
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        jax.device_get(chained(carry0, args, n_hi))
+        t_hi = time.perf_counter() - t0
+        samples.append((t_hi - t_lo) / (n_hi - n_lo))
+    return samples
+
+
 def timed_chain(step, n_lo=1, n_hi=3, repeats=2, seed=5, reduce=min):
     """Chain-differenced wall clock of ``step: key -> key`` seconds.
 

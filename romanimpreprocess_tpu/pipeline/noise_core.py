@@ -507,6 +507,16 @@ def _staged_layer_machinery(prep, pack, config, mesh=None):
             diff = diff - model
         return diff
 
+    def r_cal_diff(arrs, orig_slope, zclip=None, sky_order=None):
+        """'R'-layer re-calibration fused with its difference pass:
+        slope-only core + diff + z-clip (+ fused trailing-'S' medfit)
+        in ONE program, so the re-run's slope never round-trips HBM
+        between dispatches and the relay pays one dispatch instead of
+        two per layer (reference semantics:
+        ``gen_noise_image.py:98-170`` recalibrate-then-difference)."""
+        return diff_zclip(core_r_1(arrs)["slope"], orig_slope,
+                          zclip=zclip, sky_order=sky_order)
+
     def o_layer(key, endslice, withsky, gain):
         gain_a = jnp.clip(gain, 1e-4, 1e4)[act, act]
         es = endslice.astype(jnp.int32)
@@ -546,6 +556,7 @@ def _staged_layer_machinery(prep, pack, config, mesh=None):
     m.perturb_fill = _wrap(perturb_fill)
     m.dark_as_u16 = _wrap(dark_as_u16)
     m.diff_zclip = _wrap(diff_zclip, statics=("zclip", "sky_order"))
+    m.r_cal_diff = _wrap(r_cal_diff, statics=("zclip", "sky_order"))
     m.o_layer = _wrap(o_layer)
     m.p_layer = _wrap(
         p_layer, statics=("sky_order", "resample", "final_sky_order")
@@ -630,15 +641,15 @@ def _run_layers(m, layers, layer_key, arrs0, base, im_u16):
             if m.do_amp33:
                 arrs_r["amp33"] = m.to_f32(new_a33)
             del new_a33
-            new_out = core(arrs_r)
-            new = new_out["slope"]
-            del new_out, arrs_r, new_u16
             zc = (
                 float(layer_subscript(flags.upper(), "Z"))
                 if "z" in flags else None
             )
-            diff = m.diff_zclip(new, orig, zclip=zc, sky_order=fuse_s)
-            del new, orig
+            # fused re-cal + diff/z-clip: one dispatch per layer (the
+            # re-run's slope dies inside the program instead of
+            # round-tripping HBM between two dispatches)
+            diff = m.r_cal_diff(arrs_r, orig, zclip=zc, sky_order=fuse_s)
+            del arrs_r, new_u16, orig
         if "O" in cmd:
             d = m.o_layer(fold(lkey, 2), base["endslice"],
                           base["slope_withsky"], arrs0["gain"])

@@ -153,25 +153,50 @@ def make_big_image(infile_format, n1, ptype, vmin=0.0, vmax=1.0, mask=None,
         arr[posy : posy + n1, posx : posx + n1, :] = cm(img, bytes=True)[:, :, :3]
 
     if scaleformat is not None:
-        arr[-(n1 // 8):, nx // 2 - n1 : nx // 2 + n1, :] = cm(
-            np.linspace(0, 1, 2 * n1), bytes=True
-        )[None, :, :3]
-        sc = max(n1, 64) // 64
-        posy = ny - n1 // 8 - 15 * sc
-        for j in range(3):
-            arr[-(n1 // 8) - 2 * sc : -(n1 // 8),
-                nx // 2 - n1 + j * n1 : nx // 2 - n1 + j * n1 + sc, :] = 0
-            txt = scaleformat.format(j / 2.0 * (vmax - vmin) + vmin)
-            posx = max(0, nx // 2 - n1 + n1 * j - 3 * sc * len(txt))
-            for ch in range(3):
-                write_text(arr[:, :, ch], (posy, posx), sc, 0, txt)
-        label = LABELS[ptype]
-        posx = max(0, nx // 2 - 3 * sc * len(label))
-        posy = ny - n1 // 8 - 27 * sc
-        for ch in range(3):
-            write_text(arr[:, :, ch], (posy, posx), sc, 0, label)
+        _annotate_scale(arr, cm, vmin, vmax, n1, scaleformat,
+                        LABELS[ptype])
 
     return arr
+
+
+def _annotate_scale(arr, cm, vmin, vmax, n1, scaleformat, label):
+    """Panel footer: quantity label, color bar, tick notches, tick
+    values — stacked top-to-bottom in the SAVED image (the panel is
+    flipped vertically on save, so the band lives in ``arr``'s last
+    rows and is laid out bottom-up here).
+
+    All positions derive from three named quantities (glyph scale, bar
+    thickness, line pitch); the band reuses the empty focal-plane
+    corner the reference's panels also annotate into, but the layout
+    itself is this repo's own (ticks are centered notches under the
+    bar, values centered under their notch).
+    """
+    ny, nx, _ = arr.shape
+    sc = max(n1 // 64, 1)       # glyph scale (write_text cell = 6x12)
+    glyph_h, glyph_w = 12 * sc, 6 * sc
+    bar_h = max(n1 // 8, 2)     # color-bar thickness
+    bar_w = 2 * n1              # color-bar length
+    pitch = glyph_h + 3 * sc    # text line pitch inside the band
+    notch = 2 * sc              # tick-notch drop below the bar
+
+    xbar = (nx - bar_w) // 2
+    ybar = ny - pitch - bar_h   # label line sits above (image-wise)
+    arr[ybar : ybar + bar_h, xbar : xbar + bar_w, :] = cm(
+        np.linspace(0.0, 1.0, bar_w), bytes=True
+    )[None, :, :3]
+
+    for frac in (0.0, 0.5, 1.0):
+        xt = xbar + int(frac * (bar_w - 1))
+        arr[ybar - notch : ybar, xt : xt + sc, :] = 0
+        txt = scaleformat.format(vmin + frac * (vmax - vmin))
+        xt0 = int(np.clip(xt - glyph_w * len(txt) // 2, 0, nx - 1))
+        for ch in range(3):
+            write_text(arr[:, :, ch], (ybar - notch - glyph_h, xt0),
+                       sc, 0, txt)
+
+    x0 = max(0, (nx - glyph_w * len(label)) // 2)
+    for ch in range(3):
+        write_text(arr[:, :, ch], (ny - glyph_h, x0), sc, 0, label)
 
 
 def multi_image(infile_format, n1, masktype):
@@ -192,19 +217,28 @@ def multi_image(infile_format, n1, masktype):
                        scaleformat=fmt, mask=masktype)
         for p, lo, hi, fmt in panels
     ]
-    ny, nx, nc = images[0].shape
-    nw = 2
-    nh = (len(images) - 1) // nw + 1
-    gap = 1 + n1 // 4
-    arr = np.full(
-        (ny * nh + gap * (nh - 1), nx * nw + gap * (nw - 1), nc), 255,
-        dtype=np.uint8,
-    )
-    for i, img in enumerate(images):
-        posx = (i % nw) * (nx + gap)
-        posy = (i // nw) * (ny + gap)
-        arr[posy : posy + ny, posx : posx + nx, :] = img
-    return arr
+    return _tile_grid(images, ncols=2, gap=1 + n1 // 4)
+
+
+def _tile_grid(images, ncols, gap, background=255):
+    """Composite equal-shaped RGB panels into an ``ncols``-wide grid by
+    concatenation with background-colored spacer strips (a short row is
+    padded with blank panels)."""
+    blank = np.full_like(images[0], background)
+    vgap = np.full((images[0].shape[0], gap, 3), background, np.uint8)
+    rows = []
+    for r in range(0, len(images), ncols):
+        row = list(images[r : r + ncols])
+        row += [blank] * (ncols - len(row))
+        parts = []
+        for j, img in enumerate(row):
+            parts += ([vgap] if j else []) + [img]
+        rows.append(np.concatenate(parts, axis=1))
+    hgap = np.full((gap, rows[0].shape[1], 3), background, np.uint8)
+    parts = []
+    for i, rowimg in enumerate(rows):
+        parts += ([hgap] if i else []) + [rowimg]
+    return np.concatenate(parts, axis=0)
 
 
 def main(argv=None):

@@ -93,3 +93,113 @@ def test_bundle_cache_roundtrip(tmp_path, monkeypatch):
     arr4 = benchlib.core_bundle(nside=64)[0]
     for k in arr1:
         assert np.array_equal(np.asarray(arr1[k]), np.asarray(arr4[k])), k
+
+
+def test_no_single_pixel_chain_consumption():
+    """Grep-level gate on the honest-chain rule: no timing tool may
+    consume a single pixel of a timed program's output (XLA then
+    dead-code-eliminates everything the pixel doesn't depend on — the
+    bug class that inflated the pre-Aug-19 headline 2x and the sim
+    history until Aug 20).  Code must route checksums through
+    ``benchlib.consume_all`` / ``benchlib.scan_chain``; literal
+    ``[0, 0]``-style pixel reads may survive only in comments."""
+    import glob
+    import re
+
+    forbidden = re.compile(r"\[\s*0\s*,\s*0\s*(?:,\s*0\s*)?\]")
+    files = [os.path.join(REPO, "bench.py")] + sorted(
+        glob.glob(os.path.join(REPO, "tools", "profile_*.py")))
+    assert files
+    bad = []
+    for path in files:
+        with open(path) as f:
+            for i, line in enumerate(f, 1):
+                code = line.split("#", 1)[0]
+                if forbidden.search(code):
+                    bad.append(f"{os.path.relpath(path, REPO)}:{i}: "
+                               f"{line.strip()}")
+    assert not bad, "single-pixel consumption in a timing tool:\n" + \
+        "\n".join(bad)
+
+
+def test_bench_cache_artifact_matches_rev():
+    """If a prewarmed bench-cache artifact ships in the repo, the
+    marker inside it must carry the CURRENT ``_BENCH_REV`` — a
+    rev-mismatched artifact means the committed executables were built
+    for a different chain program, so the driver's 'warm' Pallas
+    attempt would actually compile cold and blow its budget (the
+    round-4 end-of-round failure, CLAUDE.md 'Bench prewarm
+    protocol')."""
+    import importlib.util
+    import tarfile
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(REPO, "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    bundle = os.path.join(REPO, "tools", "bench_cache",
+                          "bench_cache.tar.gz")
+    if not os.path.exists(bundle):
+        import pytest
+
+        pytest.skip("no bench-cache artifact shipped")
+    markers = []
+    with tarfile.open(bundle, "r:gz") as tf:
+        for m in tf.getmembers():
+            name = os.path.basename(m.name)
+            if name.startswith("pallas_prewarmed_") and name.endswith(
+                    ".json"):
+                with tf.extractfile(m) as f:
+                    markers.append((name, json.load(f)))
+    assert markers, "artifact ships no prewarm marker"
+    for name, marker in markers:
+        assert marker.get("rev") == bench._BENCH_REV, (
+            f"{name}: marker rev {marker.get('rev')} != _BENCH_REV "
+            f"{bench._BENCH_REV} — re-run the force-Pallas prewarm and "
+            f"rebuild tools/bench_cache (CLAUDE.md protocol)")
+        assert marker.get("jax"), name
+
+
+def test_seed_compile_cache(tmp_path, monkeypatch):
+    """``bench._seed_compile_cache`` extracts only missing flat files
+    into the active cache dir, never overwrites, and ignores
+    path-traversal member names."""
+    import importlib.util
+    import tarfile
+
+    from romanimpreprocess_tpu.utils import compilecache
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(REPO, "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    cache_dir = tmp_path / "xla"
+    monkeypatch.setenv("ROMAN_XLA_CACHE_DIR", str(cache_dir))
+    monkeypatch.setattr(compilecache, "_enabled_dir", None)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "jit_core-aaa-cache").write_bytes(b"exec-a")
+    (src / "pallas_prewarmed_4096.json").write_text('{"rev": 0}')
+    bundle = tmp_path / "bundle.tar.gz"
+    with tarfile.open(bundle, "w:gz") as tf:
+        tf.add(src / "jit_core-aaa-cache", arcname="jit_core-aaa-cache")
+        tf.add(src / "pallas_prewarmed_4096.json",
+               arcname="pallas_prewarmed_4096.json")
+        # hostile member: must be flattened to its basename, never
+        # written outside the cache dir
+        tf.add(src / "jit_core-aaa-cache", arcname="../escape-cache")
+
+    # pre-existing entry must NOT be overwritten
+    cache_dir.mkdir(parents=True)
+    (cache_dir / "jit_core-aaa-cache").write_bytes(b"local-version")
+
+    bench._seed_compile_cache(bundle=str(bundle))
+
+    assert (cache_dir / "jit_core-aaa-cache").read_bytes() == b"local-version"
+    assert (cache_dir / "pallas_prewarmed_4096.json").exists()
+    assert (cache_dir / "escape-cache").exists()  # flattened, inside
+    assert not (tmp_path / "escape-cache").exists()
+    assert not list(cache_dir.glob("*.tmp"))

@@ -9,11 +9,9 @@ bisection), read noise, the full core, and the reference-pixel /
 Usage: python tools/profile_sim.py [nside]
 """
 
-import functools
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -22,36 +20,19 @@ import jax.numpy as jnp
 import numpy as np
 
 from romanimpreprocess_tpu import benchlib
-from romanimpreprocess_tpu.io.calfiles import CalPack
 from romanimpreprocess_tpu.ops import ipc, linearity, rand
 from romanimpreprocess_tpu.pipeline import sim_to_l1
 
 
 def timed(fn, arrs, key, n_lo=1, n_hi=5):
-    """Wall-clock per iteration of fn(key, arrs) -> f32 scalar; the key
-    is folded per step so iterations stay serially dependent."""
-
-    @functools.partial(jax.jit, static_argnums=2)
-    def chained(key, arrs, n):
-        def body(carry, _):
-            k = jax.random.fold_in(carry, 0)
-            s = fn(k, arrs)
-            # fold the result into the key to serialize the chain
-            k = jax.random.fold_in(k, (s * 0).astype(jnp.int32) + 1)
-            return k, s
-
-        _, ss = jax.lax.scan(body, key, None, length=n)
-        return ss
-
-    jax.device_get(chained(key, arrs, n_lo))
-    jax.device_get(chained(key, arrs, n_hi))
-    t0 = time.perf_counter()
-    jax.device_get(chained(key, arrs, n_lo))
-    t_lo = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    jax.device_get(chained(key, arrs, n_hi))
-    t_hi = time.perf_counter() - t0
-    return (t_hi - t_lo) / (n_hi - n_lo)
+    """Wall-clock per iteration of ``fn(key, arrs) -> output pytree``
+    via the shared consume-all-enforcing harness (benchlib.scan_chain):
+    every stage's COMPLETE output is checksummed inside the chain, so
+    XLA cannot dead-code-eliminate any of it (the pre-Aug-20 version of
+    this tool consumed one pixel per stage — every number it printed
+    timed a sliced program)."""
+    return benchlib.scan_chain(fn, arrs, key, n_lo=n_lo, n_hi=n_hi,
+                               advance=benchlib.key_advance)[0]
 
 
 def main():
@@ -97,8 +78,7 @@ def main():
     # 1. Poisson increments alone: nreads x na x na draws at lam = rate*ft
     def st_poisson(k, a):
         lam = jnp.clip(a["rate"] * ft, 0.0, None)
-        incs = rand.poisson(k, lam, shape=(nreads, na, na))
-        return incs[0, 0, 0]
+        return rand.poisson(k, lam, shape=(nreads, na, na))
 
     # 2. accumulation (poisson + CR + T matmul)
     def st_accum(k, a):
@@ -106,9 +86,7 @@ def main():
         res, crh = sim_to_l1._accumulate_resultants(
             k, lam, rp, {"frame_time": ft}
         )
-        # crh is per-GROUP since the per-group CR-flag change; take a
-        # scalar element whatever its rank
-        return res[0, 0, 0] + jnp.ravel(crh)[0].astype(jnp.float32)
+        return res, crh
 
     # 3. IL forward model alone on a fixed resultant stack
     def st_il(k, a):
@@ -117,8 +95,7 @@ def main():
             a["lin_dq"],
         )
         il = sim_to_l1.IL(lin, a["gain"], a["ipc_kernel"], start_e=0.0)
-        S = il.apply(a["res_e"] + jax.random.uniform(k, (1, 1, 1)))
-        return S[0, 0, 0]
+        return il.apply(a["res_e"] + jax.random.uniform(k, (1, 1, 1)))
 
     # 3b. the bisection alone (no IPC)
     def st_invlin(k, a):
@@ -128,20 +105,17 @@ def main():
             a["lin_dq"][act, act],
         )
         x = a["res_e"] + jax.random.uniform(k, (1, 1, 1))
-        S, _ = linearity.invert_linearity(x / a["gain_act"], lin)
-        return S[0, 0, 0]
+        return linearity.invert_linearity(x / a["gain_act"], lin)
 
     # 3c. ipc_fwd alone
     def st_ipcfwd(k, a):
         x = a["res_e"] + jax.random.uniform(k, (1, 1, 1))
-        y = ipc.ipc_fwd(x, a["ipc_kernel"])
-        return y[0, 0, 0]
+        return ipc.ipc_fwd(x, a["ipc_kernel"])
 
     # 2b. accumulation without CR injection (isolates the event scatter)
     def st_accum_nocr(k, a):
         lam = jnp.clip(a["rate"] * ft, 0.0, None)
-        res, crh = sim_to_l1._accumulate_resultants(k, lam, rp, None)
-        return res[0, 0, 0] + jnp.ravel(crh)[0].astype(jnp.float32)
+        return sim_to_l1._accumulate_resultants(k, lam, rp, None)
 
     # 4. read-noise draw alone
     def st_readnoise(k, a):
@@ -151,7 +125,7 @@ def main():
             * a["read_sigma_act"][None]
             / jnp.sqrt(nvec)[:, None, None]
         )
-        return rn[0, 0, 0]
+        return rn
 
     # 5. full L1 core.  On the Pallas path stage the PRE-PADDED kernel
     # slab exactly as production does (benchlib/bench _bench_sim) —
@@ -168,8 +142,7 @@ def main():
         rp, ft, False, True, True, ipc_pallas=pallas)
 
     def st_full(k, a):
-        res, dq = core(k, a["rate"], a)
-        return res[0, 0, 0] + dq[0, 0, 0].astype(jnp.float32)
+        return core(k, a["rate"], a)
 
     report("poisson_draws", st_poisson)
     report("accumulate(+CR,T)", st_accum)

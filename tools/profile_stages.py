@@ -8,11 +8,9 @@ remote-compile payloads small.
 Usage: python tools/profile_stages.py [nside]
 """
 
-import functools
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -27,26 +25,11 @@ from romanimpreprocess_tpu.pipeline.l1_to_l2 import _refpix_correct
 
 
 def timed(fn, arrs, data0, n_lo=1, n_hi=9):
-    """Wall-clock per iteration of fn(data, arrs) -> f32 scalar."""
-
-    @functools.partial(jax.jit, static_argnums=2)
-    def chained(data, arrs, n):
-        def body(carry, _):
-            s = fn(carry, arrs)
-            return carry + (s * 0).astype(carry.dtype), s
-
-        _, ss = jax.lax.scan(body, data, None, length=n)
-        return ss
-
-    jax.device_get(chained(data0, arrs, n_lo))
-    jax.device_get(chained(data0, arrs, n_hi))
-    t0 = time.perf_counter()
-    jax.device_get(chained(data0, arrs, n_lo))
-    t_lo = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    jax.device_get(chained(data0, arrs, n_hi))
-    t_hi = time.perf_counter() - t0
-    return (t_hi - t_lo) / (n_hi - n_lo)
+    """Wall-clock per iteration of ``fn(data, arrs) -> output pytree``
+    via the shared consume-all-enforcing harness (benchlib.scan_chain):
+    the harness checksums EVERY output leaf inside the chain, so a
+    stage cannot be dead-code-eliminated below what it returns."""
+    return benchlib.scan_chain(fn, arrs, data0, n_lo=n_lo, n_hi=n_hi)[0]
 
 
 def main():
@@ -70,13 +53,13 @@ def main():
         rdq, pdq = saturation.flag_saturation(
             data, rdq0, pdq0, a["saturation"], a["saturation_dq"],
             backup=cfg["backup"], skip_first=1, n_pix_grow_sat=1)
-        return benchlib.consume_all((rdq, pdq))
+        return rdq, pdq
 
     def st_refpix(data, a):
         out = _refpix_correct(
             data, a["dark_cube"], a["amp33"], a["amp33_med"],
             a["opt_slope"], nside_, nb, chw, cfg["use_amp33"])
-        return benchlib.consume_all(out)
+        return out
 
     def st_linearity(data, a):
         lin = linearity.LinearityData(
@@ -85,7 +68,7 @@ def main():
         out, dq = linearity.apply_linearity_cube(
             data, lin, do_not_flag_first=cfg["first_is_reset"],
             attempt_corr=jnp.ones(data.shape, bool))
-        return benchlib.consume_all((out, dq))
+        return out, dq
 
     def st_ipc_pallas(data, a):
         gain_act = a["gain"][nb:-nb, nb:-nb]
@@ -93,8 +76,7 @@ def main():
             data[:, nb:-nb, nb:-nb] * gain_act[None],
             (a["dark_slope"][nb:-nb, nb:-nb] * gain_act)[None],
             (a["flat"][nb:-nb, nb:-nb] * gain_act)[None]])
-        corr = ipc_pallas.ipc_rev2_cube_blocked(stacked, a["ipc_kernel"])
-        return benchlib.consume_all(corr)
+        return ipc_pallas.ipc_rev2_cube_blocked(stacked, a["ipc_kernel"])
 
     def st_ipc_stream(data, a):
         gain_act = a["gain"][nb:-nb, nb:-nb]
@@ -102,15 +84,13 @@ def main():
             data[:, nb:-nb, nb:-nb] * gain_act[None],
             (a["dark_slope"][nb:-nb, nb:-nb] * gain_act)[None],
             (a["flat"][nb:-nb, nb:-nb] * gain_act)[None]])
-        corr = ipc_pallas.ipc_rev2_cube_stream(stacked, a["ipc_kernel"],
-                                               th=32, vmem_mb=128)
-        return benchlib.consume_all(corr)
+        return ipc_pallas.ipc_rev2_cube_stream(stacked, a["ipc_kernel"],
+                                              th=32, vmem_mb=128)
 
     def st_ipc_frame(data, a):
-        out = ipc_pallas.ipc_rev2_frame_stream(
+        return ipc_pallas.ipc_rev2_frame_stream(
             data, a["ipc_kernel_frame"], a["gain"], nborder=nb,
             th=32, vmem_mb=128)
-        return benchlib.consume_all(out)
 
     def st_ipc_xla(data, a):
         gain_act = a["gain"][nb:-nb, nb:-nb]
@@ -118,13 +98,12 @@ def main():
             data[:, nb:-nb, nb:-nb] * gain_act[None],
             (a["dark_slope"][nb:-nb, nb:-nb] * gain_act)[None],
             (a["flat"][nb:-nb, nb:-nb] * gain_act)[None]])
-        corr = ipc.ipc_rev(stacked, a["ipc_kernel"])
-        return benchlib.consume_all(corr)
+        return ipc.ipc_rev(stacked, a["ipc_kernel"])
 
     def st_ramp(data, a):
         slope, ser, sep, rdq, pdq = ramp.ramp_fit(
             data, rdq0, pdq0, plan, a["gain"], a["read_sigma"], nborder=nb)
-        return benchlib.consume_all((slope, ser, sep, rdq, pdq))
+        return slope, ser, sep, rdq, pdq
 
     def st_sky(data, a):
         slope = data[0]
@@ -133,7 +112,7 @@ def main():
             sky.binkxk(jnp.where(~m, slope, jnp.nan), 4))
         skycoefs, skymodel = sky.medfit(
             slope[nb:-nb, nb:-nb], order=cfg["skyorder"])
-        return benchlib.consume_all((medsky, skycoefs, skymodel))
+        return medsky, skycoefs, skymodel
 
     for name, f in [
         ("saturation", st_saturation),
@@ -165,19 +144,15 @@ def main_sky():
     pdq0 = arrs["mask_dq"].astype(jnp.uint32)
 
     def st_maskbuild(data, a):
-        m = mask.PixelMask1.build(pdq0 | data[0, :, :].astype(jnp.uint32))
-        return m[0, 0].astype(jnp.float32)
+        return mask.PixelMask1.build(pdq0 | data[0, :, :].astype(jnp.uint32))
 
     def st_smooth(data, a):
         m = mask.PixelMask1.build(pdq0)
-        medsky, _ = sky.smooth_mode(
+        return sky.smooth_mode(
             sky.binkxk(jnp.where(~m, data[0], jnp.nan), 4))
-        return medsky
 
     def st_medfit(data, a):
-        skycoefs, skymodel = sky.medfit(
-            data[0, nb:-nb, nb:-nb], order=cfg["skyorder"])
-        return skymodel[0, 0]
+        return sky.medfit(data[0, nb:-nb, nb:-nb], order=cfg["skyorder"])
 
     out = {}
     for name, f in [
@@ -220,29 +195,14 @@ def main_ablate():
     arrs = {k: jax.device_put(jnp.asarray(v)) for k, v in arr.items()}
 
     def timed_core(core, n_lo=1, n_hi=9):
-        @functools.partial(jax.jit, static_argnums=2)
-        def chained(data, a, n):
-            def body(carry, _):
-                out = core(dict(a, data=carry))
-                # full-frame sum of EVERY output: consuming only
-                # slope[0,0] lets XLA slice the whole frame away in
-                # variants where no full-frame reduction (medfit)
-                # remains — the old "minus medfit = 2.7 ms" marginal
-                # was that DCE artifact, not a stage attribution
-                cks = sum(jnp.sum(v.astype(jnp.float32))
-                          for v in jax.tree_util.tree_leaves(out))
-                c2 = carry + (cks * 0).astype(carry.dtype)
-                return c2, cks
-            _, ss = jax.lax.scan(body, data, None, length=n)
-            return ss
-        d0 = arrs["data"]
-        jax.device_get(chained(d0, arrs, n_lo))
-        jax.device_get(chained(d0, arrs, n_hi))
-        t0 = time.perf_counter(); jax.device_get(chained(d0, arrs, n_lo))
-        tl = time.perf_counter() - t0
-        t0 = time.perf_counter(); jax.device_get(chained(d0, arrs, n_hi))
-        th_ = time.perf_counter() - t0
-        return (th_ - tl) / (n_hi - n_lo)
+        # benchlib.scan_chain checksums EVERY output leaf inside the
+        # chain: consuming only slope[0,0] lets XLA slice the whole
+        # frame away in variants where no full-frame reduction (medfit)
+        # remains — the old "minus medfit = 2.7 ms" marginal was that
+        # DCE artifact, not a stage attribution
+        return benchlib.scan_chain(
+            lambda data, a: core(dict(a, data=data)), arrs,
+            arrs["data"], n_lo=n_lo, n_hi=n_hi)[0]
 
     base = timed_core(l1_to_l2.make_core(plan, cfg, geom))
     print(f"{'full':14s} {base * 1e3:8.2f} ms", flush=True)
