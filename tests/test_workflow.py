@@ -308,3 +308,43 @@ def test_extract_ref_variant(workdir, tmp_path):
     r = asdf_lite.open(str(tmp_path / "L2x.asdf"))["roman"]
     assert r["data"].shape == (NA, NA)
     assert np.isfinite(np.asarray(r["data"])).all()
+
+
+def test_l2_pyimcom_style_consumer(workdir):
+    """Close the downstream loop: a PyIMCOM-style consumer
+    (``validation.coadd_consumer``) opens the pipeline's L2 product,
+    reconstructs the WCS from ``meta.wcsinfo`` ALONE, and resamples a
+    postage stamp centered on the brightest truth star's sky position
+    (truth pixel -> sky via the scene header, the same path the
+    reference's downstream coadd takes via the embedded gwcs,
+    ``gen_cal_image.py:653-662``).  The star must land at the stamp
+    center and carry its flux."""
+    from romanimpreprocess_tpu.validation import coadd_consumer
+
+    d, scene, caldir, c1, c2 = workdir
+    # brightest star (j=4) of synth.make_scene_file at TRUTH-frame
+    # pixel (90, 50) for nstars=5, nside_active=120; its sky position
+    # comes from the truth header (the product data is in the flipped
+    # detector frame — the consumer must not need to know that)
+    xstar = 10 + (NA - 20) * 4 / 5.0
+    ystar = 10 + (NA - 20) * ((13 * 4) % 5) / 5.0
+    from romanimpreprocess_tpu.ops import wcsutils
+
+    w0 = wcsutils.SIPWCS.from_header(fits_lite.open_fits(scene)[0].header)
+    ra_s, dec_s = w0.pix2world(xstar, ystar)
+
+    l2 = coadd_consumer.open_l2(d + "/L2.asdf")
+    grid = coadd_consumer.CoaddGrid(
+        float(ra_s), float(dec_s), scale=0.055, shape=(32, 32)
+    )
+    res = coadd_consumer.resample(l2, grid)
+    # on-detector everywhere; dips below 1 only where DQ flags input
+    # samples (the sim jump-flags pixels in the star's wings)
+    assert res["coverage"].mean() > 0.9
+    assert res["coverage"].min() > 0.0
+    peak = np.unravel_index(np.nanargmax(res["data"]), res["data"].shape)
+    # star center within ~1 input pixel (= 2 output px) of stamp center
+    assert abs(peak[0] - 15.5) <= 2.0 and abs(peak[1] - 15.5) <= 2.0
+    # the stamp sees the star's scale: peak well above the sky floor
+    sky = np.nanmedian(l2.data)
+    assert np.nanmax(res["data"]) > sky + 5 * np.nanmedian(np.sqrt(l2.var))
