@@ -123,3 +123,53 @@ def convert_exposure(frame_files, out_path, sca, frame_time=3.04, flip=True):
         ]
     ).writeto(out_path, overwrite=True)
     return out_path
+
+
+# -- CLI ------------------------------------------------------------------
+
+#: test-campaign input prefix and output label per converter kind
+#: (reference convert_dark.py:24/79, convert_flt.py:24/82,
+#: convert_loflt.py:23/82)
+KINDS = {
+    "dark": ("Total_Noise_exp", "Noise"),
+    "flt": ("linearity_exp", "Flat"),
+    "loflt": ("Gain_exp", "LoFlat"),
+}
+
+
+def main(argv=None):
+    """``convert {dark,flt,loflt} <indir> <nframes> <outdir> <sca>`` —
+    the reference's three converter scripts behind one entry point."""
+    import argparse
+    import glob as _glob
+
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("kind", choices=sorted(KINDS))
+    p.add_argument("indir")
+    p.add_argument("nframes", type=int)
+    p.add_argument("outdir")
+    p.add_argument("sca", type=int)
+    p.add_argument("--frame-time", type=float, default=3.04)
+    p.add_argument("--no-flip", action="store_true",
+                   help="keep the Detector frame (skip the SCA flip)")
+    a = p.parse_args(argv)
+
+    prefix, label = KINDS[a.kind]
+    files = _glob.glob(f"{a.indir}/{prefix}*SCU{a.sca:02d}*.fits")
+    n_out = 0
+    for j, frames in group_exposures(files, nframes=a.nframes):
+        out = f"{a.outdir}/99999999_SCA{a.sca:02d}_{label}_{j:03d}.fits"
+        convert_exposure(frames, out, a.sca, frame_time=a.frame_time,
+                         flip=not a.no_flip)
+        print(">>", out)
+        n_out += 1
+    if n_out == 0:
+        print(f"no complete {a.kind} exposures found under {a.indir}")
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    import sys as _sys
+
+    _sys.exit(main())

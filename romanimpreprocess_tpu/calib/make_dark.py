@@ -206,3 +206,57 @@ def make_dark_and_read_files(pattern_name, reads, noise_files,
     read_path = outfile.replace("_dark_", "_read_")
     asdf_lite.AsdfFile(read_tree).write_to(read_path)
     return outfile, read_path
+
+
+def main(argv=None):
+    """``make_dark <pattern> <first_noise_file_001.fits> <noise_summary>
+    <sca> <outfile>`` — the reference's ``make_dark_file.py`` CLI: the
+    READS table comes from ``settings_<pattern>.yaml`` (override with
+    ``--settings``), and the noise-file list is every consecutive
+    ``..._NNN.fits`` sibling of the first one."""
+    import argparse
+    import os
+
+    import yaml
+
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("pattern", help="MultiAccum pattern name")
+    p.add_argument("target", help="first noise ramp file (ends _001.fits)")
+    p.add_argument("noise_summary", help="solid-waffle noise summary FITS")
+    p.add_argument("sca", type=int)
+    p.add_argument("outfile")
+    p.add_argument("--settings", default=None,
+                   help="YAML with READS (default settings_<pattern>.yaml)")
+    p.add_argument("--nside", type=int, default=None)
+    a = p.parse_args(argv)
+
+    settings = a.settings or f"settings_{a.pattern}.yaml"
+    with open(settings) as f:
+        reads = [int(r) for r in yaml.safe_load(f)["READS"]]
+
+    if not a.target.endswith("_001.fits"):
+        p.error("target must be the first noise file (ending _001.fits)")
+    noise_files = []
+    nf = 1
+    while nf <= 500:
+        cand = a.target[:-8] + f"{nf:03d}.fits"
+        if not os.path.exists(cand):
+            break
+        noise_files.append(cand)
+        nf += 1
+    if not noise_files:
+        p.error(f"no noise files found at {a.target}")
+
+    dark_path, read_path = make_dark_and_read_files(
+        a.pattern, reads, noise_files, a.noise_summary, a.sca, a.outfile,
+        nside=a.nside,
+    )
+    print(">>", dark_path)
+    print(">>", read_path)
+    return 0
+
+
+if __name__ == "__main__":
+    import sys as _sys
+
+    _sys.exit(main())

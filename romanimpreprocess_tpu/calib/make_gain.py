@@ -154,3 +154,34 @@ def make_gain_and_ipc_files(summary_files, sca, outfile, nside=None,
         }
     ).write_to(ipc_path)
     return outfile, ipc_path
+
+
+def main(argv=None):
+    """``make_gain <summaries> <sca> <outfile>`` — the reference's
+    ``make_gain_file.py`` CLI: ``summaries`` is a text file listing one
+    solid-waffle summary file per line."""
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("summaries",
+                   help="text file: one solid-waffle summary path per line")
+    p.add_argument("sca", type=int)
+    p.add_argument("outfile", help="gain output path (contains '_gain_')")
+    p.add_argument("--nside", type=int, default=None)
+    a = p.parse_args(argv)
+
+    with open(a.summaries) as f:
+        sfiles = [ln.strip() for ln in f if ln.strip()]
+    notes = f"summaries from {a.summaries}: " + ", ".join(sfiles)
+    gain_path, ipc_path = make_gain_and_ipc_files(
+        sfiles, a.sca, a.outfile, nside=a.nside, config_notes=notes
+    )
+    print(">>", gain_path)
+    print(">>", ipc_path)
+    return 0
+
+
+if __name__ == "__main__":
+    import sys as _sys
+
+    _sys.exit(main())

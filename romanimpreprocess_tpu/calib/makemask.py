@@ -63,3 +63,37 @@ def make_mask_file(out_path, sca, lin_file, dark_file, gain_file=None,
         }
     ).write_to(out_path)
     return out_path
+
+
+def main(argv=None):
+    """``makemask <outfile> <sca>`` — the reference's ``makemask.py``
+    CLI: the linearity/dark/gain inputs are derived from the output
+    name by the ``_mask_`` substitution; pass ``--no-gain-dq`` for the
+    summer-2025 behavior (2026_July ORs the gain dq in)."""
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("outfile", help="mask output path (contains '_mask_')")
+    p.add_argument("sca", type=int)
+    p.add_argument("--no-gain-dq", action="store_true")
+    p.add_argument("--nside", type=int, default=None)
+    a = p.parse_args(argv)
+
+    if "_mask_" not in a.outfile:
+        p.error("output name must contain '_mask_'")
+    sub = a.outfile.replace
+    out = make_mask_file(
+        a.outfile, a.sca,
+        sub("_mask_", "_linearitylegendre_"),
+        sub("_mask_", "_dark_"),
+        gain_file=None if a.no_gain_dq else sub("_mask_", "_gain_"),
+        nside=a.nside,
+    )
+    print(">>", out)
+    return 0
+
+
+if __name__ == "__main__":
+    import sys as _sys
+
+    _sys.exit(main())

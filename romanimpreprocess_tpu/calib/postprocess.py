@@ -166,3 +166,48 @@ def make_biascorr_file(lin_file, dark_file, out_path, sca, reads,
         }
     ).write_to(out_path)
     return out_path
+
+
+def main(argv=None):
+    """``postprocess <linearitylegendre_file> <sca> <pattern>`` — the
+    reference's ``postprocess_calfiles.py`` CLI: derives the gain input
+    and the pflat/saturation/biascorr outputs by the
+    ``_linearitylegendre_`` name substitution, with READS from
+    ``settings_<pattern>.yaml`` (override with ``--settings``)."""
+    import argparse
+
+    import yaml
+
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("infile", help="linearitylegendre ASDF (name contains "
+                                  "'_linearitylegendre_')")
+    p.add_argument("sca", type=int)
+    p.add_argument("pattern", help="MultiAccum pattern name")
+    p.add_argument("--settings", default=None)
+    p.add_argument("--frame-time", type=float, default=3.04)
+    p.add_argument("--bias-frame", type=int, default=1)
+    a = p.parse_args(argv)
+
+    if "_linearitylegendre_" not in a.infile:
+        p.error("input name must contain '_linearitylegendre_'")
+    settings = a.settings or f"settings_{a.pattern}.yaml"
+    with open(settings) as f:
+        reads = [int(r) for r in yaml.safe_load(f)["READS"]]
+
+    sub = a.infile.replace
+    print(">>", make_pflat_file(
+        a.infile, sub("_linearitylegendre_", "_gain_"),
+        sub("_linearitylegendre_", "_pflat_"), a.sca))
+    print(">>", make_saturation_file(
+        a.infile, sub("_linearitylegendre_", "_saturation_"), a.sca))
+    print(">>", make_biascorr_file(
+        a.infile, sub("_linearitylegendre_", "_dark_"),
+        sub("_linearitylegendre_", "_biascorr_"), a.sca, reads,
+        frame_time=a.frame_time, bias_frame=a.bias_frame))
+    return 0
+
+
+if __name__ == "__main__":
+    import sys as _sys
+
+    _sys.exit(main())

@@ -75,3 +75,50 @@ def linearity_config(target_dir, sca, tag, *, fmt=6, tframe=3.04,
         "NEGATIVEPAD": negativepad,
     }
     return json.dumps(cfg, indent=2)
+
+
+def main(argv=None):
+    """``swconfig correlation <target_dir> <sca> <estart> <eend>`` or
+    ``swconfig linearity <target_dir> <sca> <tag>`` — the reference's
+    Perl config generators as one CLI; writes the config text to stdout
+    or ``--out``."""
+    import argparse
+    import sys as _sys
+
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    sub = p.add_subparsers(dest="mode", required=True)
+    pc = sub.add_parser("correlation")
+    pc.add_argument("target_dir")
+    pc.add_argument("sca", type=int)
+    pc.add_argument("estart", type=int)
+    pc.add_argument("eend", type=int)
+    pc.add_argument("--out", default=None)
+    pl = sub.add_parser("linearity")
+    pl.add_argument("target_dir")
+    pl.add_argument("sca", type=int)
+    pl.add_argument("tag")
+    pl.add_argument("--out", default=None)
+    a = p.parse_args(argv)
+
+    if a.mode == "correlation":
+        txt, summary = solid_waffle_config(a.target_dir, a.sca, a.estart,
+                                           a.eend)
+        trailer = f"# summary: {summary}\n"
+    else:
+        txt = linearity_config(a.target_dir, a.sca, a.tag)
+        trailer = ""
+    if a.out:
+        with open(a.out, "w") as f:
+            f.write(txt)
+        print(">>", a.out)
+        if trailer:
+            print(trailer, end="")
+    else:
+        _sys.stdout.write(txt + trailer)
+    return 0
+
+
+if __name__ == "__main__":
+    import sys as _sys
+
+    _sys.exit(main())

@@ -340,3 +340,96 @@ def test_sigma_clip_mean_median_centered():
     # the CR pixel's average must sit near the clean mean, not be
     # dragged ~40 DN upward as the unclipped (or mean-centered) stack is
     assert abs(got[2, 2] - np.mean(np.delete(stack[:, 2, 2], 3))) < 5.0
+
+
+def test_cli_convert(tmp_path):
+    """`calib.convert dark <indir> <n> <outdir> <sca>` mirrors the
+    reference converter scripts (campaign naming, exposure grouping)."""
+    d = str(tmp_path)
+    rng = np.random.RandomState(3)
+    dark = 0.05 * np.ones((N, NAUG))
+    bias = 12000.0
+    for e in (1, 2):
+        for k in range(3):
+            img = bias + dark * DT * k + rng.normal(0, 6, (N, NAUG))
+            frame = np.clip(np.round(img), 0, 65535).astype(np.uint16)
+            frame = frame[::-1, :]  # detector frame for sca=4
+            fits_lite.PrimaryHDU(frame).writeto(
+                f"{d}/Total_Noise_exp{e}_SCU04_000{k:x}.fits"
+            )
+    outdir = str(tmp_path / "out")
+    import os
+
+    os.makedirs(outdir)
+    assert convert.main(["dark", d, "3", outdir, "4"]) == 0
+    for e in (1, 2):
+        f = fits_lite.open_fits(f"{outdir}/99999999_SCA04_Noise_{e:03d}.fits")
+        assert f[1].data.shape == (1, 3, N, NAUG)
+    # empty input dir -> rc 1
+    assert convert.main(["flt", d, "3", outdir, "4"]) == 1
+
+
+def test_cli_darkfile_and_gainfile(production, tmp_path):
+    d, sca, caldir, _ = production
+    out = str(tmp_path / f"roman_wfi_dark_CLI_SCA{sca:02d}.asdf")
+    rc = make_dark.main([
+        "TESTPAT", f"{d}/99999999_SCA{sca:02d}_Noise_001.fits",
+        d + "/noise_summary.fits", str(sca), out,
+        "--settings", d + "/settings_TESTPAT.yaml", "--nside", str(N),
+    ])
+    assert rc == 0
+    r = asdf_lite.open(out)["roman"]
+    assert np.asarray(r["data"]).shape[1:] == (N, N)
+
+    lst = str(tmp_path / "summaries.txt")
+    with open(lst, "w") as f:
+        f.write(f"{d}/sw_summary_0.txt\n{d}/sw_summary_1.txt\n")
+    gout = str(tmp_path / f"roman_wfi_gain_CLI_SCA{sca:02d}.asdf")
+    assert make_gain.main([lst, str(sca), gout, "--nside", str(N)]) == 0
+    g = asdf_lite.open(gout)["roman"]
+    assert np.asarray(g["data"]).shape == (N, N)
+    assert asdf_lite.open(gout.replace("_gain_", "_ipc4d_"))
+
+
+def test_cli_postprocess_and_makemask(production, tmp_path):
+    """The name-substitution CLIs (reference postprocess_calfiles.py /
+    makemask.py derive every path from one argument)."""
+    import shutil
+
+    import yaml
+
+    d, sca, caldir, _ = production
+    w = str(tmp_path)
+    base = f"{w}/roman_wfi_linearitylegendre_CLI_SCA{sca:02d}.asdf"
+    shutil.copy(caldir["linearitylegendre"], base)
+    shutil.copy(caldir["gain"], base.replace("_linearitylegendre_", "_gain_"))
+    shutil.copy(caldir["dark"], base.replace("_linearitylegendre_", "_dark_"))
+    with open(f"{w}/settings_TESTPAT.yaml", "w") as f:
+        yaml.safe_dump({"READS": READS}, f)
+
+    rc = postprocess.main([base, str(sca), "TESTPAT",
+                           "--settings", f"{w}/settings_TESTPAT.yaml",
+                           "--frame-time", str(DT)])
+    assert rc == 0
+    for kind in ("pflat", "saturation", "biascorr"):
+        assert asdf_lite.open(base.replace("_linearitylegendre_", f"_{kind}_"))
+
+    mout = base.replace("_linearitylegendre_", "_mask_")
+    assert makemask.main([mout, str(sca), "--nside", str(N)]) == 0
+    dq = np.asarray(asdf_lite.open(mout)["roman"]["dq"])
+    assert dq.shape == (N, N) and dq.dtype == np.uint32
+    assert np.all(dq[:NB, :] & 2**31)
+
+
+def test_cli_swconfig(tmp_path, capsys):
+    out = str(tmp_path / "sw.cfg")
+    assert swconfig.main(["correlation", "/data", "7", "1", "10",
+                          "--out", out]) == 0
+    txt = open(out).read()
+    assert "DETECTOR: SCA07" in txt and "FORMAT: 6" in txt
+    assert "sw-SCA07-E001_summary.txt" in capsys.readouterr().out
+    assert swconfig.main(["linearity", "/data", "7", "TAG"]) == 0
+    import json
+
+    cfg = json.loads(capsys.readouterr().out)
+    assert cfg["SCA"] == 7
