@@ -15,13 +15,38 @@ sessions, production batches).
 The reference has no analog (CUDA kernels compile in seconds locally);
 this is TPU-relay-specific infrastructure.
 
+Cache-key stability (load-bearing for the bench artifact): JAX's
+default cache key hashes ``backend.platform_version`` and the
+serialized device topology.  On the axon relay ``platform_version``
+embeds relay build identity that churns across relay restarts —
+observed Aug 20: a cache built at 11:15 missed wholesale at 20:53
+with zero repo changes, because the version string
+(``axon 0.1.0; SerializedExecutable v9; compile-cache v14; compat
+c49`` + a build timestamp/cl) rolled.  That breaks the
+travel-with-the-repo warm-bench artifact (tools/bench_cache/), whose
+whole point is to cross environment boundaries.  ``enable()``
+therefore normalizes the key: of the platform version only the
+serialization-format tokens (``SerializedExecutable vN``,
+``compile-cache vN`` — the tokens that actually version the wire
+format of a cached executable) are hashed, and the accelerator config
+is hashed as the stable ``device_kind`` strings instead of the
+relay-varying topology blob.  Safety: a stale entry that the relay
+can no longer load fails in ``backend.deserialize_executable``, which
+``jax._src.compiler._cache_read`` catches (``warnings.warn`` +
+recompile; ``jax_raise_persistent_cache_errors`` defaults False) — so
+the worst case of over-matching equals today's miss, while the common
+case (relay restart, same wire format) stays warm.
+
 Env contract:
   ROMAN_XLA_CACHE=0        disable entirely
   ROMAN_XLA_CACHE_DIR=...  override the cache directory
                            (default ~/.cache/romanimpreprocess_tpu/xla)
+  ROMAN_XLA_CACHE_RAW_KEY=1  keep JAX's default (environment-coupled)
+                           cache key composition
 """
 
 import os
+import re
 
 _DEFAULT_DIR = os.path.join(
     os.path.expanduser("~"), ".cache", "romanimpreprocess_tpu", "xla"
@@ -55,5 +80,44 @@ def enable(cache_dir=None):
     # defaults otherwise: min_compile_time 1 s keeps the cache free of
     # the thousands of trivial sub-second CPU test compiles while
     # catching every relay compile (all >> 1 s)
+    if os.environ.get("ROMAN_XLA_CACHE_RAW_KEY", "0") != "1":
+        _stabilize_cache_key()
     _enabled_dir = d
     return d
+
+
+_FORMAT_TOKEN = re.compile(
+    r"(SerializedExecutable v\d+|compile-cache v\d+)")
+
+
+def _stable_platform_fingerprint(platform_version):
+    """The subset of ``backend.platform_version`` that versions the
+    serialized-executable wire format (see module docstring)."""
+    return ";".join(_FORMAT_TOKEN.findall(platform_version))
+
+
+def _stabilize_cache_key():
+    """Drop relay-build churn from JAX's compilation-cache key.
+
+    Idempotent.  Patches ``jax._src.cache_key``'s platform and
+    accelerator-config hash entries with environment-stable
+    equivalents; the computation, jaxlib version, XLA flags and
+    compile options remain in the key unchanged.
+    """
+    from jax._src import cache_key as ck
+
+    if getattr(ck, "_roman_stable_key", False):
+        return
+    ck._roman_stable_key = True
+
+    def _hash_platform(hash_obj, backend):
+        ck._hash_string(hash_obj, backend.platform)
+        ck._hash_string(
+            hash_obj,
+            _stable_platform_fingerprint(backend.platform_version))
+
+    def _hash_accelerator_config(hash_obj, accelerators):
+        ck._hash_devices(hash_obj, accelerators)
+
+    ck._hash_platform = _hash_platform
+    ck._hash_accelerator_config = _hash_accelerator_config

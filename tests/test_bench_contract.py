@@ -203,3 +203,51 @@ def test_seed_compile_cache(tmp_path, monkeypatch):
     assert (cache_dir / "escape-cache").exists()  # flattened, inside
     assert not (tmp_path / "escape-cache").exists()
     assert not list(cache_dir.glob("*.tmp"))
+
+
+def test_cache_key_ignores_relay_churn(tmp_path, monkeypatch):
+    """compilecache.enable() must make the persistent-cache key
+    independent of relay build identity (compat epoch, build
+    timestamp/cl) while still keying on the serialized-executable wire
+    format versions — the Aug 20 wholesale miss came from
+    ``backend.platform_version`` churn between two runs of the same
+    repo state (compilecache.py module docstring)."""
+    import hashlib
+    import types
+
+    from jax._src import cache_key as ck
+
+    from romanimpreprocess_tpu.utils import compilecache
+
+    monkeypatch.setenv("ROMAN_XLA_CACHE_DIR", str(tmp_path / "xla"))
+    monkeypatch.delenv("ROMAN_XLA_CACHE_RAW_KEY", raising=False)
+    monkeypatch.setattr(compilecache, "_enabled_dir", None)
+    assert compilecache.enable() is not None
+
+    def digest_platform(version):
+        h = hashlib.sha256()
+        ck._hash_platform(
+            h, types.SimpleNamespace(platform="tpu",
+                                     platform_version=version))
+        return h.hexdigest()
+
+    v_morning = ("PJRT C API\naxon 0.1.0; SerializedExecutable v9; "
+                 "compile-cache v14; compat c48\nTFRT TPU v5 lite\n"
+                 "Built on Nov 01 2025 (176) cl/1")
+    v_evening = ("PJRT C API\naxon 0.1.1; SerializedExecutable v9; "
+                 "compile-cache v14; compat c49\nTFRT TPU v5 lite\n"
+                 "Built on Nov 12 2025 (1762985796) cl/831091709")
+    v_newwire = v_evening.replace("SerializedExecutable v9",
+                                  "SerializedExecutable v10")
+
+    assert digest_platform(v_morning) == digest_platform(v_evening)
+    assert digest_platform(v_evening) != digest_platform(v_newwire)
+
+    # accelerator config reduces to the stable device kinds
+    import numpy as np
+
+    h1, h2 = hashlib.sha256(), hashlib.sha256()
+    devs = np.array([types.SimpleNamespace(device_kind="TPU v5 lite")])
+    ck._hash_accelerator_config(h1, devs)
+    ck._hash_accelerator_config(h2, devs)
+    assert h1.hexdigest() == h2.hexdigest()
