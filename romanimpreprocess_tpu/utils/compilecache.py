@@ -37,6 +37,17 @@ recompile; ``jax_raise_persistent_cache_errors`` defaults False) — so
 the worst case of over-matching equals today's miss, while the common
 case (relay restart, same wire format) stays warm.
 
+A second key-instability source (found Aug 21, the actual cause of
+the Aug-20 misses): with a persistent cache dir configured, JAX's
+``jax_persistent_cache_enable_xla_caches`` default injects the cache
+*directory path* into ``CompileOptions.env_option_overrides``
+(``xla_gpu_per_fusion_autotune_cache_dir``), which IS hashed into the
+key — so executables compiled into a scratch dir
+(``ROMAN_XLA_CACHE_DIR=/tmp/...``, as the artifact builder uses) can
+never be hit by a process using the default dir.  ``enable()`` sets
+that config to ``"none"`` (the GPU autotune cache it controls is
+meaningless on TPU), making keys cache-dir-independent.
+
 Env contract:
   ROMAN_XLA_CACHE=0        disable entirely
   ROMAN_XLA_CACHE_DIR=...  override the cache directory
@@ -81,6 +92,20 @@ def enable(cache_dir=None):
     # the thousands of trivial sub-second CPU test compiles while
     # catching every relay compile (all >> 1 s)
     if os.environ.get("ROMAN_XLA_CACHE_RAW_KEY", "0") != "1":
+        # By default JAX ALSO points XLA's own caches at the cache dir
+        # by injecting env_option_overrides into CompileOptions —
+        # ("xla_gpu_per_fusion_autotune_cache_dir", "<cache_dir>/...")
+        # — and that flag is NOT in cache_key's
+        # env_override_flags_to_exclude_from_cache_key, so the cache
+        # KEY depends on the cache DIRECTORY PATH.  Measured Aug 21:
+        # identical chain programs keyed 103be0d2... under the default
+        # dir and 17b69370... under ROMAN_XLA_CACHE_DIR=/tmp/... —
+        # which is why every artifact built into a scratch dir
+        # (tools/make_bench_cache.sh) missed wholesale when bench.py
+        # later ran with the default dir.  The GPU autotune cache is
+        # meaningless on TPU: disable the injection entirely.
+        jax.config.update("jax_persistent_cache_enable_xla_caches",
+                          "none")
         _stabilize_cache_key()
     _enabled_dir = d
     return d

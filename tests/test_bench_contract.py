@@ -251,3 +251,22 @@ def test_cache_key_ignores_relay_churn(tmp_path, monkeypatch):
     ck._hash_accelerator_config(h1, devs)
     ck._hash_accelerator_config(h2, devs)
     assert h1.hexdigest() == h2.hexdigest()
+
+
+def test_cache_key_ignores_cache_dir(tmp_path, monkeypatch):
+    """The persistent-cache key must not depend on the cache
+    DIRECTORY: by default JAX injects the dir path into
+    CompileOptions.env_option_overrides
+    (jax_persistent_cache_enable_xla_caches), which is hashed into the
+    key — the actual cause of the Aug-20 artifact misses (an artifact
+    built under ROMAN_XLA_CACHE_DIR=/tmp/... can then never be hit
+    from the default dir).  enable() must disable the injection."""
+    import jax
+
+    from romanimpreprocess_tpu.utils import compilecache
+
+    monkeypatch.setenv("ROMAN_XLA_CACHE_DIR", str(tmp_path / "xla"))
+    monkeypatch.delenv("ROMAN_XLA_CACHE_RAW_KEY", raising=False)
+    monkeypatch.setattr(compilecache, "_enabled_dir", None)
+    assert compilecache.enable() is not None
+    assert jax.config.jax_persistent_cache_enable_xla_caches == "none"
